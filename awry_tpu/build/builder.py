@@ -1,0 +1,122 @@
+"""Index construction: text -> suffix array -> device-layout FM-index arrays.
+
+TPU-native re-design of FmIndex::new (reference: src/fm_index.rs:142-268).
+The reference fills its block-of-structs BWT with a scalar pass over the
+suffix array; here every component is produced by whole-array NumPy passes
+(bit-plane packing via reshape + weighted sums, milestones via a per-block
+bincount + exclusive cumsum), then the k-mer seed table is populated with the
+vectorized host engine.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..alphabet import Alphabet, encode_ascii, index_to_code_table
+from ..host_engine import populate_kmer_table
+from ..index import SYMBOLS_PER_BLOCK, WORDS_PER_WINDOW, FmBuildArgs, FmIndexData
+from ..io.sequence_io import SequenceData, concat_records, read_sequence_file
+from .suffix_array import build_suffix_array
+
+
+def bwt_symbols_from_sa(text_syms: np.ndarray, sa: np.ndarray) -> np.ndarray:
+    """BWT[i] = text'[SA[i]-1] with text' = text + sentinel; row with SA==0
+    gets the sentinel symbol (src/fm_index.rs:219-228)."""
+    prev = sa - 1
+    safe_prev = np.where(prev < 0, 0, prev)
+    # text' position text_len is the sentinel itself (symbol 0); positions
+    # < text_len read the canonical text.
+    ext = np.concatenate([text_syms.astype(np.int64), np.zeros(1, dtype=np.int64)])
+    out = ext[safe_prev]
+    out[prev < 0] = 0
+    return out
+
+
+def pack_bit_planes(bwt_syms: np.ndarray, alphabet: Alphabet) -> np.ndarray:
+    """Pack per-position symbol codes into uint32[num_blocks, V, 8] planes.
+
+    Bit v of a symbol's code goes into plane v at the symbol's in-block bit
+    position (src/bwt.rs:65-77); bit order within a 256-bit window is
+    little-endian over 8 u32 lanes (byte-compatible with the reference's
+    [u64;4] Vec256 when both are viewed little-endian).
+    """
+    n = bwt_syms.shape[0]
+    num_blocks = -(-n // SYMBOLS_PER_BLOCK)
+    padded = np.zeros(num_blocks * SYMBOLS_PER_BLOCK, dtype=np.int64)
+    padded[:n] = bwt_syms
+    codes = index_to_code_table(alphabet).astype(np.uint32)[padded]
+    codes[n:] = 0  # trailing pad positions carry no symbol
+    weights = (np.uint32(1) << np.arange(32, dtype=np.uint32)).astype(np.uint64)
+    nv = alphabet.num_planes
+    planes = np.empty((num_blocks, nv, WORDS_PER_WINDOW), dtype=np.uint32)
+    bits = codes.reshape(num_blocks, WORDS_PER_WINDOW, 32)
+    for v in range(nv):
+        plane_bits = ((bits >> np.uint32(v)) & np.uint32(1)).astype(np.uint64)
+        planes[:, v, :] = (plane_bits * weights).sum(axis=-1).astype(np.uint32)
+    return planes
+
+
+def compute_milestones(bwt_syms: np.ndarray, alphabet: Alphabet) -> tuple[np.ndarray, np.ndarray]:
+    """Milestones[b, c] = count of c in BWT[0 : 256*b] (src/fm_index.rs:211-217)
+    plus the global prefix sums C (src/fm_index.rs:232-240)."""
+    n = bwt_syms.shape[0]
+    c = alphabet.cardinality
+    num_blocks = -(-n // SYMBOLS_PER_BLOCK)
+    block_ids = np.arange(n, dtype=np.int64) >> 8
+    per_block = np.bincount(block_ids * c + bwt_syms, minlength=num_blocks * c).reshape(
+        num_blocks, c
+    )
+    cum = np.cumsum(per_block, axis=0, dtype=np.uint64)
+    milestones = np.zeros_like(cum)
+    milestones[1:] = cum[:-1]
+    totals = cum[-1]
+    prefix_sums = np.zeros(c + 1, dtype=np.uint64)
+    prefix_sums[1:] = np.cumsum(totals, dtype=np.uint64)
+    return milestones, prefix_sums
+
+
+def build_from_sequence_data(seq_data: SequenceData, args: FmBuildArgs) -> FmIndexData:
+    """Assemble the full FM-index from canonical concatenated text."""
+    alphabet = args.alphabet
+    sa = build_suffix_array(seq_data.text)
+    bwt_len = sa.shape[0]  # text_len + 1 (src/fm_index.rs:50,182)
+    text_syms = encode_ascii(alphabet, seq_data.text).astype(np.int64)
+    bwt_syms = bwt_symbols_from_sa(text_syms, sa)
+
+    planes = pack_bit_planes(bwt_syms, alphabet)
+    milestones, prefix_sums = compute_milestones(bwt_syms, alphabet)
+
+    sa_ratio = args.resolved_sa_ratio()
+    sampled_sa = sa[::sa_ratio].astype(np.uint64)  # sampling by BWT row (csa.rs:109-111)
+
+    kmer_len = args.resolved_kmer_len()
+    base = alphabet.num_encoding_symbols
+    index = FmIndexData(
+        alphabet=alphabet,
+        planes=planes,
+        milestones=milestones,
+        prefix_sums=prefix_sums,
+        sampled_sa=sampled_sa,
+        sa_ratio=sa_ratio,
+        bwt_len=int(bwt_len),
+        kmer_table=np.zeros((base**kmer_len, 2), dtype=np.uint64),
+        kmer_len=kmer_len,
+        seq_starts=seq_data.start_positions.astype(np.int64),
+        headers=list(seq_data.headers),
+    )
+    index.kmer_table = populate_kmer_table(index)
+    index.validate()
+    return index
+
+
+def build_index(args: FmBuildArgs) -> FmIndexData:
+    """FmIndex::new analog: read the input file and build the index."""
+    if args.input_file_src is None:
+        raise ValueError("input_file_src is required")
+    seq_data = read_sequence_file(args.input_file_src, args.alphabet)
+    return build_from_sequence_data(seq_data, args)
+
+
+def build_from_records(records: list[tuple[str, bytes]], args: FmBuildArgs) -> FmIndexData:
+    """Build directly from in-memory (header, sequence) records."""
+    return build_from_sequence_data(concat_records(records, args.alphabet), args)

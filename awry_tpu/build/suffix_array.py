@@ -1,0 +1,126 @@
+"""Host-side suffix-array construction.
+
+Replaces the reference's external libsufr dependency (src/fm_index.rs:156-181)
+with a self-built C++ SA-IS kernel (awry_tpu/native/sais.cpp) bound via
+ctypes, plus a pure-NumPy prefix-doubling fallback used when the native
+library cannot be compiled.
+
+The suffix array of a sentinel-terminated text is unique, so the downstream
+BWT (and therefore every query result) is bit-exact regardless of which
+backend produced it (SURVEY.md section 2, native component #4).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), os.pardir, "native")
+_SRC = os.path.abspath(os.path.join(_NATIVE_DIR, "sais.cpp"))
+_LIB = os.path.abspath(os.path.join(_NATIVE_DIR, "libawrysais.so"))
+
+_lock = threading.Lock()
+_lib_handle = None
+_native_failed = False
+
+
+def _load_native():
+    """Compile (once, cached on disk) and load the SA-IS shared library."""
+    global _lib_handle, _native_failed
+    with _lock:
+        if _lib_handle is not None or _native_failed:
+            return _lib_handle
+        try:
+            if (not os.path.exists(_LIB)) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
+                cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-o", _LIB, _SRC]
+                subprocess.run(cmd, check=True, capture_output=True)
+            lib = ctypes.CDLL(_LIB)
+            lib.awry_sais_i32.restype = ctypes.c_int
+            lib.awry_sais_i32.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_int32),
+            ]
+            lib.awry_sais_i64.restype = ctypes.c_int
+            lib.awry_sais_i64.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64),
+            ]
+            _lib_handle = lib
+        except Exception:
+            _native_failed = True
+            _lib_handle = None
+        return _lib_handle
+
+
+def suffix_array_doubling(text_with_sentinel: np.ndarray) -> np.ndarray:
+    """Pure-NumPy Manber-Myers prefix doubling, O(n log^2 n). Fallback path."""
+    s = np.asarray(text_with_sentinel, dtype=np.uint8)
+    n = s.shape[0]
+    rank = s.astype(np.int64)
+    sa = np.argsort(rank, kind="stable")
+    k = 1
+    tmp = np.empty(n, dtype=np.int64)
+    while True:
+        # Sort by (rank[i], rank[i+k]) using lexsort (last key is primary).
+        rank2 = np.full(n, -1, dtype=np.int64)
+        rank2[: n - k] = rank[k:]
+        sa = np.lexsort((rank2, rank))
+        # Re-rank.
+        pair_prev = (rank[sa[:-1]], rank2[sa[:-1]])
+        pair_cur = (rank[sa[1:]], rank2[sa[1:]])
+        newgroup = (pair_cur[0] != pair_prev[0]) | (pair_cur[1] != pair_prev[1])
+        tmp[sa[0]] = 0
+        tmp[sa[1:]] = np.cumsum(newgroup)
+        rank, tmp = tmp.copy(), rank
+        if rank[sa[-1]] == n - 1:
+            return sa.astype(np.int64)
+        k *= 2
+
+
+def build_suffix_array(text: np.ndarray | bytes, *, force_fallback: bool = False) -> np.ndarray:
+    """Suffix array of ``text + [0x00 sentinel]``.
+
+    Args:
+      text: canonical text bytes WITHOUT sentinel (uint8 array or bytes).
+
+    Returns:
+      int64[len(text)+1] suffix array over the sentinel-terminated text;
+      sa[0] == len(text) (the sentinel suffix sorts first).
+    """
+    arr = np.frombuffer(text, dtype=np.uint8) if isinstance(text, (bytes, bytearray)) else np.asarray(text, dtype=np.uint8)
+    if arr.ndim != 1:
+        raise ValueError("text must be 1-D bytes")
+    if arr.size and arr.min() == 0:
+        raise ValueError("text must not contain the 0x00 sentinel byte")
+    n = arr.size + 1
+    buf = np.empty(n, dtype=np.uint8)
+    buf[:-1] = arr
+    buf[-1] = 0
+
+    lib = None if force_fallback else _load_native()
+    if lib is None:
+        return suffix_array_doubling(buf)
+
+    if n <= np.iinfo(np.int32).max:
+        sa = np.empty(n, dtype=np.int32)
+        rc = lib.awry_sais_i32(
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.c_int32(n),
+            sa.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+    else:
+        sa = np.empty(n, dtype=np.int64)
+        rc = lib.awry_sais_i64(
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.c_int64(n),
+            sa.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        )
+    if rc != 0:
+        raise RuntimeError(f"native SA-IS failed with code {rc}")
+    return sa.astype(np.int64)

@@ -1,0 +1,120 @@
+"""FM-index data model: structure-of-arrays, designed for TPU HBM residency.
+
+This is the TPU-native re-expression of the reference's block-of-structs
+windowed BWT (reference: src/bwt.rs:14-25, src/fm_index.rs:40-56).  Instead of
+interleaved 32-byte-aligned blocks, every component is a dense array so the
+whole index ships to the device as a pytree of jnp arrays and every query
+batch touches it with vectorized gathers:
+
+* ``planes``    uint32[num_blocks, num_planes, 8] - the strided occurrence
+  bit-vectors; one 256-bit window per (block, plane) as 8 little-endian u32
+  lanes (the reference's Vec256 = [u64;4], src/simd_instructions.rs:35-37,
+  byte-identical when viewed little-endian).
+* ``milestones`` uint64[num_blocks, cardinality] - per-symbol cumulative
+  counts at each block start (src/bwt.rs:79-98; only `cardinality` of the
+  reference's 8/24 padded slots are meaningful).
+* ``prefix_sums`` uint64[cardinality+1] - the C array (src/fm_index.rs:232-240).
+* ``sampled_sa`` uint64[ceil(bwt_len/r)] - every r-th suffix-array entry by
+  BWT row (src/compressed_suffix_array.rs:109-111).  Stored ALIGNED here (not
+  bit-packed); the bit-packed encoding exists only at the .awry file boundary
+  (awry_tpu/io/awry_format.py), trading a little memory for gather-friendly
+  device access (SURVEY.md section 2, native component #3).
+* ``kmer_table`` uint64[base**k, 2] - precomputed seed ranges addressed by a
+  DENSE radix over encoding symbols (A,C,G,T->0..3 etc.).  Unlike the
+  reference's table (never actually read; SURVEY.md 2.3 quirk #1), ours is
+  load-bearing: a table hit replaces the first k backward-search steps.
+* ``seq_starts`` int64[num_records] - record start offsets for localization
+  (src/sequence_index.rs:10-21).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from .alphabet import Alphabet
+
+SYMBOLS_PER_BLOCK = 256  # reference: src/bwt.rs:285
+WORDS_PER_WINDOW = 8  # 256 bits as 8 x u32 lanes
+FM_VERSION_NUMBER = 1  # reference: src/fm_index.rs:19
+
+
+@dataclasses.dataclass
+class FmBuildArgs:
+    """Build configuration (reference: FmBuildArgs, src/fm_index.rs:78-96).
+
+    TPU-specific additions live in the query-engine / sharding configs, not
+    here; this mirrors the reference's knobs.
+    """
+
+    input_file_src: str | None = None
+    alphabet: Alphabet = Alphabet.NUCLEOTIDE
+    suffix_array_compression_ratio: int | None = None  # default 8 (fm_index.rs:122)
+    lookup_table_kmer_len: int | None = None  # defaults 10 / 4 (kmer_lookup_table.rs:23-24)
+    max_query_len: int | None = None  # accepted for parity; full-depth sort is always used
+
+    def resolved_sa_ratio(self) -> int:
+        return self.suffix_array_compression_ratio or 8
+
+    def resolved_kmer_len(self) -> int:
+        return self.lookup_table_kmer_len or self.alphabet.default_kmer_len
+
+
+@dataclasses.dataclass
+class FmIndexData:
+    """Host-resident (NumPy) FM-index; the single source of truth.
+
+    Device engines (`awry_tpu.ops`, `awry_tpu.parallel`) derive their jnp
+    pytrees from this via `awry_tpu.ops.device_index.to_device`.
+    """
+
+    alphabet: Alphabet
+    planes: np.ndarray  # uint32 [num_blocks, num_planes, 8]
+    milestones: np.ndarray  # uint64 [num_blocks, cardinality]
+    prefix_sums: np.ndarray  # uint64 [cardinality + 1]
+    sampled_sa: np.ndarray  # uint64 [ceil(bwt_len / sa_ratio)]
+    sa_ratio: int
+    bwt_len: int
+    kmer_table: np.ndarray  # uint64 [base**kmer_len, 2]
+    kmer_len: int
+    seq_starts: np.ndarray  # int64 [num_records]
+    headers: list[str]
+    version_number: int = FM_VERSION_NUMBER
+
+    @property
+    def num_blocks(self) -> int:
+        return self.planes.shape[0]
+
+    @property
+    def cardinality(self) -> int:
+        return self.alphabet.cardinality
+
+    def validate(self) -> None:
+        c = self.alphabet.cardinality
+        v = self.alphabet.num_planes
+        nb = -(-self.bwt_len // SYMBOLS_PER_BLOCK)
+        assert self.planes.shape == (nb, v, WORDS_PER_WINDOW), self.planes.shape
+        assert self.planes.dtype == np.uint32
+        assert self.milestones.shape == (nb, c)
+        assert self.prefix_sums.shape == (c + 1,)
+        assert int(self.prefix_sums[-1]) == self.bwt_len
+        assert self.sampled_sa.shape == (-(-self.bwt_len // self.sa_ratio),)
+        base = self.alphabet.num_encoding_symbols
+        assert self.kmer_table.shape == (base**self.kmer_len, 2)
+        assert self.seq_starts.shape == (len(self.headers),)
+
+    def memory_report(self) -> dict[str, int]:
+        """Bytes per component (analog of the reference's MemSize derive,
+        SURVEY.md section 5, tracing row)."""
+        report = {
+            "planes": self.planes.nbytes,
+            "milestones": self.milestones.nbytes,
+            "prefix_sums": self.prefix_sums.nbytes,
+            "sampled_sa": self.sampled_sa.nbytes,
+            "kmer_table": self.kmer_table.nbytes,
+            "seq_starts": self.seq_starts.nbytes,
+            "headers": sum(len(h) for h in self.headers),
+        }
+        report["total"] = sum(report.values())
+        return report
