@@ -19,6 +19,8 @@ from .alphabet import Alphabet
 from .build.builder import build_from_records, build_index
 from .host_engine import count, count_batch, locate, locate_batch
 from .index import FmBuildArgs, FmIndexData
+from .io.artifact import load_artifact, save_artifact
+from .io.awry_format import load_awry, save_awry
 
 __version__ = "0.1.0"
 
@@ -32,4 +34,8 @@ __all__ = [
     "count_batch",
     "locate",
     "locate_batch",
+    "save_awry",
+    "load_awry",
+    "save_artifact",
+    "load_artifact",
 ]

@@ -1,0 +1,65 @@
+"""Native index artifact: versioned .npz checkpoint of the device-layout arrays.
+
+The framework's checkpoint/resume story (SURVEY.md section 5): the .awry file
+is kept for cross-validation with the reference, while this artifact is the
+fast path - arrays are stored exactly as they ship to the device (no
+bit-packing round trip), with a JSON header carrying the scalar metadata.
+Save -> load is a field-identical round trip (the analog of
+save_load_equality_test, src/fm_index.rs:1046-1088).
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+
+from ..alphabet import Alphabet
+from ..index import FmIndexData
+
+ARTIFACT_VERSION = 1
+
+
+def save_artifact(index: FmIndexData, path: str) -> None:
+    meta = {
+        "artifact_version": ARTIFACT_VERSION,
+        "fm_version": index.version_number,
+        "alphabet": index.alphabet.value,
+        "sa_ratio": index.sa_ratio,
+        "bwt_len": index.bwt_len,
+        "kmer_len": index.kmer_len,
+        "headers": index.headers,
+    }
+    np.savez_compressed(
+        path,
+        meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
+        planes=index.planes,
+        milestones=index.milestones,
+        prefix_sums=index.prefix_sums,
+        sampled_sa=index.sampled_sa,
+        kmer_table=index.kmer_table,
+        seq_starts=index.seq_starts,
+    )
+
+
+def load_artifact(path: str) -> FmIndexData:
+    with np.load(path) as z:
+        meta = json.loads(bytes(z["meta"]).decode())
+        if meta["artifact_version"] != ARTIFACT_VERSION:
+            raise ValueError(f"unsupported artifact version {meta['artifact_version']}")
+        index = FmIndexData(
+            alphabet=Alphabet(meta["alphabet"]),
+            planes=z["planes"],
+            milestones=z["milestones"],
+            prefix_sums=z["prefix_sums"],
+            sampled_sa=z["sampled_sa"],
+            sa_ratio=meta["sa_ratio"],
+            bwt_len=meta["bwt_len"],
+            kmer_table=z["kmer_table"],
+            kmer_len=meta["kmer_len"],
+            seq_starts=z["seq_starts"],
+            headers=list(meta["headers"]),
+            version_number=meta["fm_version"],
+        )
+    index.validate()
+    return index

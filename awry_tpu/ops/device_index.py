@@ -1,0 +1,86 @@
+"""Device-resident FM-index: a pytree of jnp arrays living in TPU HBM.
+
+The host FmIndexData (awry_tpu/index.py) converts to this form once; every
+query batch then runs against it with vectorized gathers.  Positions, counts
+and ranges use uint32 throughout - texts up to 2^32-1 symbols cover every
+single-chip config (GRCh38 at 3.1 Gbp included; SURVEY.md section 7 "hard
+parts"); beyond that the index must be range-sharded (awry_tpu/parallel).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..alphabet import (
+    Alphabet,
+    code_to_index_table,
+    index_to_code_table,
+    index_to_dense_table,
+)
+from ..index import FmIndexData
+
+
+@partial(jax.tree_util.register_dataclass, data_fields=[
+    "planes", "milestones", "prefix_sums", "sampled_sa", "kmer_table", "seq_starts",
+    "index_to_code", "code_to_index", "index_to_dense",
+], meta_fields=["alphabet", "sa_ratio", "bwt_len", "kmer_len"])
+@dataclasses.dataclass(frozen=True)
+class FmDeviceIndex:
+    """jnp mirror of FmIndexData plus the small codec LUTs the kernels need."""
+
+    planes: jax.Array  # uint32 [num_blocks, V, 8]
+    milestones: jax.Array  # uint32 [num_blocks, cardinality]
+    prefix_sums: jax.Array  # uint32 [cardinality + 1]
+    sampled_sa: jax.Array  # uint32 [ceil(bwt_len / sa_ratio)]
+    kmer_table: jax.Array  # uint32 [base**kmer_len, 2]
+    seq_starts: jax.Array  # uint32 [num_records]
+    index_to_code: jax.Array  # uint32 [cardinality]
+    code_to_index: jax.Array  # int32 [2**V]
+    index_to_dense: jax.Array  # int32 [cardinality]
+    alphabet: Alphabet
+    sa_ratio: int
+    bwt_len: int
+    kmer_len: int
+
+    @property
+    def num_planes(self) -> int:
+        return self.alphabet.num_planes
+
+
+def to_device(index: FmIndexData, *, sharding=None) -> FmDeviceIndex:
+    """Ship a host index to the device(s).
+
+    `sharding`: optional dict component-name -> jax.sharding.Sharding to
+    place arrays (used by awry_tpu.parallel for replication/range-sharding);
+    default is single-device placement by jnp.asarray.
+    """
+    if index.bwt_len >= 2**32:
+        raise NotImplementedError(
+            "single-device engine is uint32-positioned; range-shard texts >= 4 Gbp"
+        )
+
+    def put(name: str, arr: np.ndarray) -> jax.Array:
+        if sharding and name in sharding:
+            return jax.device_put(arr, sharding[name])
+        return jnp.asarray(arr)
+
+    return FmDeviceIndex(
+        planes=put("planes", index.planes),
+        milestones=put("milestones", index.milestones.astype(np.uint32)),
+        prefix_sums=put("prefix_sums", index.prefix_sums.astype(np.uint32)),
+        sampled_sa=put("sampled_sa", index.sampled_sa.astype(np.uint32)),
+        kmer_table=put("kmer_table", index.kmer_table.astype(np.uint32)),
+        seq_starts=put("seq_starts", index.seq_starts.astype(np.uint32)),
+        index_to_code=put("index_to_code", index_to_code_table(index.alphabet).astype(np.uint32)),
+        code_to_index=put("code_to_index", code_to_index_table(index.alphabet).astype(np.int32)),
+        index_to_dense=put("index_to_dense", index_to_dense_table(index.alphabet).astype(np.int32)),
+        alphabet=index.alphabet,
+        sa_ratio=index.sa_ratio,
+        bwt_len=index.bwt_len,
+        kmer_len=index.kmer_len,
+    )

@@ -14,6 +14,12 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
+import jax
+
+# The axon sitecustomize pre-registers the tunneled TPU backend before env
+# vars can win; the config update below is authoritative.
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import pytest
 

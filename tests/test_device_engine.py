@@ -1,0 +1,100 @@
+"""JAX device engine vs the host (NumPy) engine and the brute-force oracle."""
+
+import numpy as np
+import pytest
+
+import awry_tpu.host_engine as he
+from awry_tpu import Alphabet, FmBuildArgs, build_from_records
+from awry_tpu.ops import FmQueryEngine, occurrence, to_device
+
+from .conftest import random_seq
+from .oracle import kmer_position_map, localize
+
+ALPHABETS = [Alphabet.NUCLEOTIDE, Alphabet.AMINO]
+
+
+def _build(alphabet, rng, *, n=800, num_records=1, sa_ratio=None, kmer_len=3):
+    records = []
+    for i in range(num_records):
+        ln = n if num_records == 1 else int(rng.integers(10, n))
+        records.append((f"seq_{i}", random_seq(alphabet, rng, ln)))
+    args = FmBuildArgs(
+        alphabet=alphabet,
+        suffix_array_compression_ratio=sa_ratio,
+        lookup_table_kmer_len=kmer_len,
+    )
+    return build_from_records(records, args), records
+
+
+@pytest.mark.parametrize("alphabet", ALPHABETS)
+def test_device_occurrence_matches_host(alphabet, rng):
+    import jax.numpy as jnp
+
+    index, _ = _build(alphabet, rng, n=700)
+    dev = to_device(index)
+    pos = rng.integers(0, index.bwt_len, size=256)
+    for sym in range(1, alphabet.cardinality):
+        host = he.occurrence(index, pos, np.full_like(pos, sym))
+        devr = occurrence(dev, jnp.asarray(pos, dtype=jnp.uint32), jnp.full(pos.shape, sym, dtype=jnp.int32))
+        np.testing.assert_array_equal(np.asarray(devr).astype(np.int64), host.astype(np.int64))
+
+
+@pytest.mark.parametrize("alphabet,n,k", [
+    (Alphabet.NUCLEOTIDE, 1200, 12),
+    (Alphabet.NUCLEOTIDE, 1200, 3),
+    (Alphabet.AMINO, 300, 5),
+])
+def test_device_count_locate_vs_oracle(alphabet, n, k, rng):
+    index, records = _build(alphabet, rng, n=n)
+    engine = FmQueryEngine(index)
+    text = records[0][1]
+    kmap = kmer_position_map(text, k)
+    queries = list(kmap.keys())
+    counts = engine.count_batch(queries)
+    locates = engine.locate_batch(queries)
+    for q, got_count, got_locs in zip(queries, counts, locates):
+        positions = kmap[q]
+        assert int(got_count) == len(positions), q
+        assert sorted(got_locs) == sorted(localize(positions, index.seq_starts)), q
+
+
+def test_device_mixed_length_batches(rng):
+    index, records = _build(Alphabet.NUCLEOTIDE, rng, n=900, kmer_len=4)
+    engine = FmQueryEngine(index)
+    text = records[0][1]
+    queries = [
+        text[0:30], text[5:9], text[100:103],  # shorter than k
+        b"ZZZZ",  # all-ambiguity (absent unless text has N runs)
+        text[40:41],  # single char
+        b"", text, text + b"A",
+    ]
+    got = engine.count_batch(queries)
+    expected = [he.count(index, q) for q in queries]
+    np.testing.assert_array_equal(got.astype(np.int64), np.array(expected))
+    # locate parity too
+    for q, locs in zip(queries, engine.locate_batch(queries)):
+        assert sorted(locs) == sorted(he.locate(index, q)), q
+
+
+def test_device_multi_record(rng):
+    index, records = _build(Alphabet.NUCLEOTIDE, rng, n=60, num_records=6, sa_ratio=4)
+    engine = FmQueryEngine(index)
+    text = b"N".join(seq for _, seq in records)
+    kmap = kmer_position_map(text, 5)
+    queries = list(kmap.keys())
+    counts = engine.count_batch(queries)
+    locates = engine.locate_batch(queries)
+    for q, c, locs in zip(queries, counts, locates):
+        assert int(c) == len(kmap[q])
+        assert sorted(locs) == sorted(localize(kmap[q], index.seq_starts))
+
+
+@pytest.mark.parametrize("sa_ratio", [1, 3, 16])
+def test_device_locate_sa_ratios(sa_ratio, rng):
+    index, records = _build(Alphabet.NUCLEOTIDE, rng, n=400, sa_ratio=sa_ratio)
+    engine = FmQueryEngine(index)
+    text = records[0][1]
+    kmap = kmer_position_map(text, 6)
+    queries = list(kmap.keys())[:80]
+    for q, locs in zip(queries, engine.locate_batch(queries)):
+        assert sorted(p for _, p in locs) == sorted(kmap[q])

@@ -1,0 +1,112 @@
+"""Bit-packing sweep, .awry round trip, artifact round trip, FASTA/FASTQ
+parsing (mirrors src/compressed_suffix_array.rs:137-212 and
+save_load_equality_test, src/fm_index.rs:1046-1088)."""
+
+import numpy as np
+import pytest
+
+import awry_tpu.host_engine as he
+from awry_tpu import Alphabet, FmBuildArgs, build_from_records
+from awry_tpu.io.artifact import load_artifact, save_artifact
+from awry_tpu.io.awry_format import load_awry, save_awry
+from awry_tpu.io.sequence_io import parse_fasta, parse_fastq
+from awry_tpu.utils.bitpack import bits_per_element, pack, packed_word_len, unpack
+
+from .conftest import random_seq
+
+
+def test_bits_per_element_pinned():
+    # src/compressed_suffix_array.rs:182-212 table
+    for length, expected in [
+        (15, 4), (16, 4), (17, 5), (31, 5), (32, 5), (33, 6),
+        (1022, 10), (1023, 10), (1024, 10), (1025, 11),
+        (65535, 16), (65536, 16), (65537, 17),
+        (2**31 - 1, 31), (2**31, 31), (2**31 + 1, 32),
+    ]:
+        assert bits_per_element(length) == expected, length
+
+
+@pytest.mark.parametrize("ratio", range(1, 16))
+def test_bitpack_round_trip(ratio):
+    # src/compressed_suffix_array.rs:137-180 sweep
+    sa_len = 12345
+    values = np.arange(0, sa_len, ratio, dtype=np.uint64)
+    words = pack(values, sa_len, ratio)
+    assert words.shape[0] == packed_word_len(sa_len, ratio)
+    np.testing.assert_array_equal(unpack(words, sa_len, ratio), values)
+
+
+def test_bitpack_word_straddle():
+    # bwt_len forcing bpe that straddles u64 boundaries often
+    bwt_len = 2**20 + 3  # 21 bits/element
+    ratio = 1
+    rng = np.random.default_rng(7)
+    values = rng.integers(0, bwt_len, size=-(-bwt_len // ratio), dtype=np.uint64)
+    words = pack(values, bwt_len, ratio)
+    np.testing.assert_array_equal(unpack(words, bwt_len, ratio), values)
+
+
+def _build(alphabet, rng, n=500, num_records=2, kmer_len=2):
+    records = [
+        (f"header with spaces {i}", random_seq(alphabet, rng, int(rng.integers(20, n))))
+        for i in range(num_records)
+    ]
+    return build_from_records(records, FmBuildArgs(alphabet=alphabet, lookup_table_kmer_len=kmer_len)), records
+
+
+@pytest.mark.parametrize("alphabet", [Alphabet.NUCLEOTIDE, Alphabet.AMINO])
+def test_awry_round_trip(alphabet, rng, tmp_path):
+    index, records = _build(alphabet, rng)
+    path = str(tmp_path / "test.awry")
+    save_awry(index, path)
+    loaded = load_awry(path)
+
+    assert loaded.alphabet == index.alphabet
+    assert loaded.bwt_len == index.bwt_len
+    assert loaded.sa_ratio == index.sa_ratio
+    assert loaded.kmer_len == index.kmer_len
+    assert loaded.version_number == index.version_number
+    assert loaded.headers == index.headers
+    np.testing.assert_array_equal(loaded.planes, index.planes)
+    np.testing.assert_array_equal(loaded.milestones, index.milestones)
+    np.testing.assert_array_equal(loaded.prefix_sums, index.prefix_sums)
+    np.testing.assert_array_equal(loaded.sampled_sa, index.sampled_sa)
+    np.testing.assert_array_equal(loaded.kmer_table, index.kmer_table)
+    np.testing.assert_array_equal(loaded.seq_starts, index.seq_starts)
+
+    # and queries agree
+    q = records[0][1][:12]
+    assert he.count(loaded, q) == he.count(index, q)
+    assert he.locate(loaded, q) == he.locate(index, q)
+
+
+def test_awry_magic_validation(tmp_path):
+    p = tmp_path / "bogus.awry"
+    p.write_bytes(b"NOT-AN-INDEX" + b"\x00" * 64)
+    with pytest.raises(ValueError, match="magic"):
+        load_awry(str(p))
+
+
+@pytest.mark.parametrize("alphabet", [Alphabet.NUCLEOTIDE, Alphabet.AMINO])
+def test_artifact_round_trip(alphabet, rng, tmp_path):
+    index, _ = _build(alphabet, rng)
+    path = str(tmp_path / "index.npz")
+    save_artifact(index, path)
+    loaded = load_artifact(path)
+    for field in ("planes", "milestones", "prefix_sums", "sampled_sa", "kmer_table", "seq_starts"):
+        np.testing.assert_array_equal(getattr(loaded, field), getattr(index, field))
+    assert loaded.headers == index.headers
+    assert (loaded.alphabet, loaded.sa_ratio, loaded.bwt_len, loaded.kmer_len) == (
+        index.alphabet, index.sa_ratio, index.bwt_len, index.kmer_len)
+
+
+def test_parse_fasta_variants():
+    recs = parse_fasta(b">a desc\nACGT\nACGT\n\n>b\nTTTT")
+    assert recs == [("a desc", b"ACGTACGT"), ("b", b"TTTT")]
+
+
+def test_parse_fastq_variants():
+    recs = parse_fastq(b"@r1\nACGT\n+\nIIII\n@r2 x\nGG\n+r2\n!!\n")
+    assert recs == [("r1", b"ACGT"), ("r2 x", b"GG")]
+    with pytest.raises(ValueError):
+        parse_fastq(b"@r1\nACGT\n+\n")  # truncated
