@@ -25,16 +25,32 @@ from ..alphabet import (
 from ..index import FmIndexData
 
 
+def fused_row_words(alphabet: Alphabet) -> int:
+    """uint32 words per fused block row: V*8 plane words + cardinality
+    milestone words, padded to a multiple of 8 (nucleotide: 24+6 -> 32 words
+    = exactly one 128 B HBM line; amino: 40+22 -> 64 words = 256 B)."""
+    raw = alphabet.num_planes * 8 + alphabet.cardinality
+    return -(-raw // 8) * 8
+
+
 @partial(jax.tree_util.register_dataclass, data_fields=[
-    "planes", "milestones", "prefix_sums", "sampled_sa", "kmer_table", "seq_starts",
+    "blocks", "prefix_sums", "sampled_sa", "kmer_table", "seq_starts",
     "index_to_code", "code_to_index", "index_to_dense",
 ], meta_fields=["alphabet", "sa_ratio", "bwt_len", "kmer_len"])
 @dataclasses.dataclass(frozen=True)
 class FmDeviceIndex:
-    """jnp mirror of FmIndexData plus the small codec LUTs the kernels need."""
+    """jnp mirror of FmIndexData plus the small codec LUTs the kernels need.
 
-    planes: jax.Array  # uint32 [num_blocks, V, 8]
-    milestones: jax.Array  # uint32 [num_blocks, cardinality]
+    The windowed BWT lives as ONE fused array `blocks[nb, row_words]`: each
+    row holds the block's V 256-bit occurrence windows (as V*8 uint32 lanes)
+    followed by its per-symbol milestone counts, padded to an HBM-line
+    multiple.  A rank query is then a single 128 B (nucleotide) gather - the
+    reference reads the same 160 B block but needed no gather engine; on TPU
+    one fused row per rank is the difference between one and two
+    latency-bound HBM accesses.
+    """
+
+    blocks: jax.Array  # uint32 [num_blocks, fused_row_words]
     prefix_sums: jax.Array  # uint32 [cardinality + 1]
     sampled_sa: jax.Array  # uint32 [ceil(bwt_len / sa_ratio)]
     kmer_table: jax.Array  # uint32 [base**kmer_len, 2]
@@ -50,6 +66,22 @@ class FmDeviceIndex:
     @property
     def num_planes(self) -> int:
         return self.alphabet.num_planes
+
+    @property
+    def plane_words(self) -> int:
+        return self.alphabet.num_planes * 8
+
+
+def build_fused_blocks(index: FmIndexData) -> np.ndarray:
+    """Assemble the fused [num_blocks, row_words] uint32 block array."""
+    nb = index.num_blocks
+    v = index.alphabet.num_planes
+    c = index.alphabet.cardinality
+    row_words = fused_row_words(index.alphabet)
+    fused = np.zeros((nb, row_words), dtype=np.uint32)
+    fused[:, : v * 8] = index.planes.reshape(nb, v * 8)
+    fused[:, v * 8 : v * 8 + c] = index.milestones.astype(np.uint32)
+    return fused
 
 
 def to_device(index: FmIndexData, *, sharding=None) -> FmDeviceIndex:
@@ -70,8 +102,7 @@ def to_device(index: FmIndexData, *, sharding=None) -> FmDeviceIndex:
         return jnp.asarray(arr)
 
     return FmDeviceIndex(
-        planes=put("planes", index.planes),
-        milestones=put("milestones", index.milestones.astype(np.uint32)),
+        blocks=put("blocks", build_fused_blocks(index)),
         prefix_sums=put("prefix_sums", index.prefix_sums.astype(np.uint32)),
         sampled_sa=put("sampled_sa", index.sampled_sa.astype(np.uint32)),
         kmer_table=put("kmer_table", index.kmer_table.astype(np.uint32)),

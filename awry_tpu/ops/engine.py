@@ -29,6 +29,33 @@ def _bucket(n: int, minimum: int = 16) -> int:
     return b
 
 
+def encode_query_batch(alphabet, queries, *, min_batch: int = 16, min_len: int = 8):
+    """Shared host-side query encoding: list of str/bytes -> (np int32[B, L]
+    RIGHT-ALIGNED, np int32[B]) with power-of-two-bucketed padded shapes.
+    Right alignment makes each backward-search step a static column read
+    (awry_tpu/ops/search.py).  Uniform-length batches take a fully
+    vectorized path."""
+    qbytes = [q.encode() if isinstance(q, str) else bytes(q) for q in queries]
+    lens = [len(q) for q in qbytes]
+    B = _bucket(max(1, len(qbytes)), minimum=min_batch)
+    L = _bucket(max(lens, default=1), minimum=min_len)
+    qlens = np.zeros((B,), dtype=np.int32)
+    qlens[: len(lens)] = lens
+    # int8 on the wire: symbol indices are < 22, and query upload bandwidth
+    # is part of the serving hot path.
+    qsyms = np.zeros((B, L), dtype=np.int8)
+    if qbytes and len(set(lens)) == 1 and lens[0] > 0:
+        flat = np.frombuffer(b"".join(qbytes), dtype=np.uint8)
+        qsyms[: len(qbytes), L - lens[0] :] = (
+            encode_ascii(alphabet, flat).reshape(len(qbytes), lens[0])
+        )
+    else:
+        for i, q in enumerate(qbytes):
+            if len(q):
+                qsyms[i, L - len(q) :] = encode_ascii(alphabet, q)
+    return qsyms, qlens
+
+
 class FmQueryEngine:
     """Batch count/locate engine over a device-resident FM-index."""
 
@@ -45,24 +72,21 @@ class FmQueryEngine:
             self._count_fn = jax.jit(count_batch_kernel)
         self._ranges_fn = jax.jit(search_ranges)
         self._walk_fn = jax.jit(lf_walk)
+        from .locate import count_locate_capped
+
+        self._count_locate_fn = jax.jit(count_locate_capped, static_argnames=("cap",))
+        self._seq_starts_host = np.asarray(self.device_index.seq_starts).astype(np.int64)
 
     # -- host-side encoding ------------------------------------------------
     def encode_queries(self, queries) -> tuple[jax.Array, jax.Array]:
         """Encode + pad a list of str/bytes queries to [B, L] symbols and
-        [B] lengths (padded shapes are bucketed)."""
-        alphabet = self.device_index.alphabet
-        encoded = []
-        for q in queries:
-            if isinstance(q, str):
-                q = q.encode()
-            encoded.append(encode_ascii(alphabet, q).astype(np.int32))
-        B = _bucket(max(1, len(encoded)))
-        L = _bucket(max((len(e) for e in encoded), default=1), minimum=8)
-        qsyms = np.zeros((B, L), dtype=np.int32)
-        qlens = np.zeros((B,), dtype=np.int32)
-        for i, e in enumerate(encoded):
-            qsyms[i, : len(e)] = e
-            qlens[i] = len(e)
+        [B] lengths (padded shapes are bucketed).
+
+        Uniform-length batches (the common production shape: fixed-length
+        reads) take a fully vectorized path: one concatenated frombuffer +
+        one LUT pass instead of a per-query Python loop.
+        """
+        qsyms, qlens = encode_query_batch(self.device_index.alphabet, queries)
         return jnp.asarray(qsyms), jnp.asarray(qlens)
 
     # -- public API --------------------------------------------------------
@@ -79,9 +103,47 @@ class FmQueryEngine:
         n = len(queries)
         return np.asarray(starts)[:n], np.asarray(ends)[:n]
 
-    def locate_batch(self, queries) -> list[list[tuple[int, int]]]:
+    def locate_batch(self, queries, *, cap: int = 8) -> list[list[tuple[int, int]]]:
         """parallel_locate analog: (sequence_idx, local_position) pairs per
         query, in BWT-row order (reference order, src/fm_index.rs:521)."""
+        _, results = self.count_locate_batch(queries, cap=cap)
+        return results
+
+    def count_locate_batch(self, queries, *, cap: int = 8):
+        """Counts AND locations in ONE device dispatch (up to `cap` hits per
+        query on the fast path; only queries exceeding the cap re-run
+        through the unbounded flat-row path).  Returns (uint64[B] counts,
+        list of per-query (sequence_idx, local_position) lists)."""
+        qsyms, qlens = self.encode_queries(queries)
+        counts, text_pos = self._count_locate_fn(self.device_index, qsyms, qlens, cap=cap)
+        counts = np.asarray(counts)[: len(queries)].astype(np.int64)
+        seq_idx, local = self._localize(np.asarray(text_pos))
+        results: list[list[tuple[int, int]]] = []
+        overflow = [i for i in range(len(queries)) if counts[i] > cap]
+        overflow_results = (
+            dict(zip(overflow, self._locate_flat([queries[i] for i in overflow])))
+            if overflow
+            else {}
+        )
+        for i in range(len(queries)):
+            if counts[i] > cap:
+                results.append(overflow_results[i])
+            else:
+                c = int(counts[i])
+                results.append(list(zip(seq_idx[i, :c].tolist(), local[i, :c].tolist())))
+        return counts.astype(np.uint64), results
+
+    def _localize(self, text_pos: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Global text positions -> (record index, local position), host-side
+        searchsorted over the record starts (src/sequence_index.rs:108-141,
+        with the reference's broken binary search replaced)."""
+        starts = self._seq_starts_host
+        seq_idx = np.searchsorted(starts, text_pos, side="right") - 1
+        local = text_pos.astype(np.int64) - starts[seq_idx]
+        return seq_idx, local
+
+    def _locate_flat(self, queries) -> list[list[tuple[int, int]]]:
+        """Unbounded locate: ranges dispatch -> host row expansion -> walk."""
         starts, ends = self.search_ranges_batch(queries)
         starts64 = starts.astype(np.int64)
         ends64 = ends.astype(np.int64)
@@ -98,9 +160,8 @@ class FmQueryEngine:
                 flat_rows[offsets[i] : offsets[i + 1]] = np.arange(
                     starts64[i], ends64[i] + 1, dtype=np.uint32
                 )
-        _, seq_idx, local = self._walk_fn(self.device_index, jnp.asarray(flat_rows))
-        seq_idx = np.asarray(seq_idx)[:total]
-        local = np.asarray(local)[:total]
+        text_pos = self._walk_fn(self.device_index, jnp.asarray(flat_rows))
+        seq_idx, local = self._localize(np.asarray(text_pos)[:total])
         return [
             list(zip(seq_idx[offsets[i] : offsets[i + 1]].tolist(),
                      local[offsets[i] : offsets[i + 1]].tolist()))

@@ -1,0 +1,72 @@
+"""Pallas DMA-pipelined row gather: the HBM random-access engine.
+
+The backward-search hot loop is one fused-row gather per rank
+(rank.fetch_rows).  XLA's TPU gather keeps only a shallow pipeline of
+outstanding HBM reads, so it runs latency-bound far below HBM bandwidth.
+This kernel issues TILE async row-DMAs back-to-back per grid step (hundreds
+in flight) before draining them, the pallas_guide double-buffering pattern
+applied to scattered reads; the row indices arrive via scalar prefetch so
+the copies can start as soon as the grid step begins.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _gather_kernel(tile: int):
+    def kernel(idx_ref, hbm_ref, out_ref, sems):
+        i = pl.program_id(0)
+
+        def issue(j, _):
+            row = idx_ref[i * tile + j]
+            pltpu.make_async_copy(hbm_ref.at[row], out_ref.at[j], sems.at[j]).start()
+            return 0
+
+        jax.lax.fori_loop(0, tile, issue, 0)
+
+        def drain(j, _):
+            row = idx_ref[i * tile + j]
+            pltpu.make_async_copy(hbm_ref.at[row], out_ref.at[j], sems.at[j]).wait()
+            return 0
+
+        jax.lax.fori_loop(0, tile, drain, 0)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "interpret"))
+def dma_gather_rows(
+    blocks: jax.Array, idx: jax.Array, *, tile: int = 512, interpret: bool | None = None
+) -> jax.Array:
+    """Gather blocks[idx] with TILE-deep DMA pipelining.
+
+    blocks: uint32 [nb, S] (stays in HBM); idx: int32 [B], B % tile == 0.
+    Returns uint32 [B, S].
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b = idx.shape[0]
+    s = blocks.shape[1]
+    if b % tile:
+        raise ValueError(f"batch {b} must be a multiple of tile {tile}")
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b // tile,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=pl.BlockSpec((tile, s), lambda i, idx_ref: (i, 0), memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((tile,))],
+    )
+    return pl.pallas_call(
+        _gather_kernel(tile),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, s), jnp.uint32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(idx, blocks)

@@ -56,8 +56,29 @@ def lf_walk(index: FmDeviceIndex, rows: jax.Array, *, backstep_fn=None):
 
     sa_vals = index.sampled_sa[(walked // r).astype(jnp.int32)]
     text_pos = (sa_vals + steps) % jnp.uint32(index.bwt_len)
-    seq_idx = (
-        jnp.searchsorted(index.seq_starts, text_pos, side="right").astype(jnp.int32) - 1
-    )
-    local = text_pos - index.seq_starts[seq_idx]
-    return text_pos, seq_idx, local
+    return text_pos
+
+
+def count_locate_capped(index: FmDeviceIndex, qsyms: jax.Array, qlens: jax.Array, cap: int):
+    """Fused count + locate in ONE device dispatch, up to `cap` hits/query.
+
+    Returns (counts uint32[B], text_pos uint32[B, cap]); entries beyond
+    counts[b] are meaningless.  Queries with more than `cap` hits report
+    their true count; the engine re-runs just those through the unbounded
+    flat path.  This collapses the reference's search-then-per-row-walk
+    (src/fm_index.rs:516-544) into a single fused kernel - no host round
+    trip between the range search and the LF-walk.  Global->(record, local)
+    mapping happens on the host (a trivial searchsorted), keeping the
+    device->host payload at one uint32 per hit.
+    """
+    from .search import counts_from_ranges, search_ranges
+
+    starts, ends = search_ranges(index, qsyms, qlens)
+    counts = counts_from_ranges(starts, ends)
+    b = starts.shape[0]
+    offs = jnp.arange(cap, dtype=jnp.uint32)
+    rows = starts[:, None] + offs[None, :]  # [B, cap]
+    valid = offs[None, :] < jnp.minimum(counts, jnp.uint32(cap))[:, None]
+    flat_rows = jnp.where(valid, rows, jnp.uint32(0)).reshape(-1)  # row 0 is sampled
+    text_pos = lf_walk(index, flat_rows)
+    return counts, text_pos.reshape(b, cap)

@@ -3,15 +3,24 @@
 The reference's per-query scalar loop (get_search_range_for_string,
 src/fm_index.rs:402-438) becomes one `lax.fori_loop` over the padded query
 length with an active-mask per lane, vectorized over the whole batch: each
-step performs two rank gathers (start-1, end) for every live query.  The
-k-mer lookup table supplies the seed range - skipping the first k steps -
-whenever a query's last k symbols are all encoding symbols, which is exactly
-when a table entry exists (and equals the recomputed range, so results are
-identical to the reference's always-recompute path; SURVEY.md 2.3 quirk #1).
+step performs one stacked rank gather (start-1 and end together) for every
+live query.
+
+Query layout: RIGHT-ALIGNED [B, L] symbol matrices (encode_query_batch).
+Backward search consumes characters from the end, so right alignment makes
+"the symbol at distance i from the end" a STATIC column L-1-i - each loop
+step is a plain row read of the transposed [L, B] matrix, with no per-lane
+dynamic indexing anywhere in the loop.
+
+The k-mer lookup table supplies the seed range - skipping the first k
+steps - whenever a query's last k symbols are all encoding symbols, which
+is exactly when a table entry exists (and equals the recomputed range, so
+results are identical to the reference's always-recompute path; SURVEY.md
+2.3 quirk #1).
 
 Masking invariants that make the fixed-shape loop exact:
 * updating an empty range keeps it empty, and `start >= 1` persists, so
-  lanes frozen by the early-exit mask can still compute safely;
+  lanes frozen by the early-exit mask still compute safely;
 * pad symbols are never consumed because the mask requires step < len.
 """
 
@@ -19,16 +28,25 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
+from ..alphabet import index_to_dense_table
 from .device_index import FmDeviceIndex
 from .rank import seed_range, update_range
+
+
+def _select_i32(table, idx: jax.Array) -> jax.Array:
+    out = jnp.full(idx.shape, np.int32(table[0]), dtype=jnp.int32)
+    for k in range(1, len(table)):
+        out = jnp.where(idx == k, np.int32(table[k]), out)
+    return out
 
 
 def search_ranges(index: FmDeviceIndex, qsyms: jax.Array, qlens: jax.Array, *, update_fn=None):
     """Backward-search a batch of queries to their final BWT ranges.
 
     Args:
-      qsyms: int32[B, L] symbol indices, right-padded (pad value ignored).
+      qsyms: int32[B, L] RIGHT-ALIGNED symbol indices (pad on the left).
       qlens: int32[B] true query lengths (0 allowed -> empty range).
       update_fn: optional (starts, ends, sym) -> (starts, ends) override for
         the LF-mapping step; used by the Pallas kernel path and the
@@ -40,38 +58,35 @@ def search_ranges(index: FmDeviceIndex, qsyms: jax.Array, qlens: jax.Array, *, u
     if update_fn is None:
         update_fn = lambda s, e, sym: update_range(index, s, e, sym)  # noqa: E731
     B, L = qsyms.shape
-    rows = jnp.arange(B)
+    # Accept int8 wire format; widen once on device.
+    qt = qsyms.T.astype(jnp.int32)  # [L, B]; row L-1-i = symbol at distance i from the end
 
-    last_pos = jnp.maximum(qlens - 1, 0)
-    last_sym = qsyms[rows, last_pos]
+    last_sym = qt[L - 1]
     s0, e0 = seed_range(index, last_sym)
     steps_done = jnp.ones((B,), dtype=jnp.int32)
 
     k = index.kmer_len
     if k > 0 and L >= k:
         # Dense radix address over the last k symbols (host layout:
-        # awry_tpu/host_engine._kmer_address).
-        offs = qlens[:, None] - k + jnp.arange(k, dtype=jnp.int32)[None, :]
-        lastk = jnp.take_along_axis(qsyms, jnp.clip(offs, 0, L - 1), axis=1)
-        dense = index.index_to_dense[lastk]  # [B, k]
-        seedable = (qlens >= k) & (dense >= 0).all(axis=1)
+        # awry_tpu/host_engine._kmer_address).  Row L-1-j holds the symbol
+        # at distance j from the end, weighted base**j.
+        dense_table = index_to_dense_table(index.alphabet)
         base = index.alphabet.num_encoding_symbols
-        # int32 addressing caps the table at 2^31 entries - far beyond any
-        # practical k (4^13 = 67M is already 0.5 GiB of table).
-        weights = base ** jnp.arange(k - 1, -1, -1, dtype=jnp.int32)
-        addr = (jnp.maximum(dense, 0) * weights).sum(axis=1)
-        addr = jnp.clip(addr, 0, index.kmer_table.shape[0] - 1)
-        ts = index.kmer_table[addr, 0]
-        te = index.kmer_table[addr, 1]
-        s0 = jnp.where(seedable, ts, s0)
-        e0 = jnp.where(seedable, te, e0)
-        steps_done = jnp.where(seedable, jnp.int32(k), steps_done)
+        addr = jnp.zeros((B,), dtype=jnp.int32)
+        all_dense = qlens >= k
+        for j in range(k):
+            d = _select_i32(dense_table, qt[L - 1 - j])
+            all_dense = all_dense & (d >= 0)
+            addr = addr + jnp.maximum(d, 0) * np.int32(base**j)
+        seeded = index.kmer_table[addr]  # [B, 2] gather, once per batch
+        s0 = jnp.where(all_dense, seeded[:, 0], s0)
+        e0 = jnp.where(all_dense, seeded[:, 1], e0)
+        steps_done = jnp.where(all_dense, jnp.int32(k), steps_done)
 
     def body(i, carry):
         starts, ends = carry
-        pos = qlens - 1 - i
-        active = (i >= steps_done) & (pos >= 0) & (starts <= ends)
-        sym = qsyms[rows, jnp.maximum(pos, 0)]
+        active = (i >= steps_done) & (i < qlens) & (starts <= ends)
+        sym = jax.lax.dynamic_index_in_dim(qt, L - 1 - i, axis=0, keepdims=False)
         new_starts, new_ends = update_fn(starts, ends, sym)
         starts = jnp.where(active, new_starts, starts)
         ends = jnp.where(active, new_ends, ends)

