@@ -15,8 +15,9 @@ Public surface mirrors the reference's (src/lib.rs:2-10):
   FmQueryEngine       <- count_string/locate_string/parallel_* (device form)
 """
 
-from .alphabet import Alphabet
+from .alphabet import Alphabet, Symbol
 from .build.builder import build_from_records, build_index
+from .fm_index import FmIndex, LocalizedSequencePosition, SearchRange
 from .host_engine import count, count_batch, locate, locate_batch
 from .index import FmBuildArgs, FmIndexData
 from .io.artifact import load_artifact, save_artifact
@@ -26,6 +27,10 @@ __version__ = "0.1.0"
 
 __all__ = [
     "Alphabet",
+    "Symbol",
+    "FmIndex",
+    "SearchRange",
+    "LocalizedSequencePosition",
     "FmBuildArgs",
     "FmIndexData",
     "build_index",

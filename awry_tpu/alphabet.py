@@ -225,6 +225,53 @@ def dense_to_index_table(alphabet: Alphabet) -> np.ndarray:
     return table
 
 
+class Symbol:
+    """A single symbol with ascii/index/bit-vector views (reference: Symbol,
+    src/alphabet.rs:74-167).  Constructors mirror new_ascii / new_index."""
+
+    __slots__ = ("alphabet", "_index")
+
+    def __init__(self, alphabet: Alphabet, index: int):
+        if not 0 <= index < alphabet.cardinality:
+            raise ValueError(f"symbol index {index} out of range for {alphabet}")
+        self.alphabet = alphabet
+        self._index = index
+
+    @classmethod
+    def new_ascii(cls, alphabet: Alphabet, ch: str | int) -> "Symbol":
+        b = ord(ch) if isinstance(ch, str) else int(ch)
+        return cls(alphabet, int(ascii_to_index_table(alphabet)[b & 0xFF]))
+
+    @classmethod
+    def new_index(cls, alphabet: Alphabet, index: int) -> "Symbol":
+        return cls(alphabet, index)
+
+    def index(self) -> int:
+        return self._index
+
+    def ascii(self) -> str:
+        return chr(index_to_ascii_table(self.alphabet)[self._index])
+
+    def bit_vector(self) -> int:
+        return int(index_to_code_table(self.alphabet)[self._index])
+
+    def is_sentinel(self) -> bool:
+        return self._index == SENTINEL_IDX
+
+    def __repr__(self) -> str:
+        return f"Symbol({self.alphabet.name}, {self.ascii()!r})"
+
+    def __eq__(self, other) -> bool:
+        return (
+            isinstance(other, Symbol)
+            and self.alphabet is other.alphabet
+            and self._index == other._index
+        )
+
+    def __hash__(self) -> int:
+        return hash((self.alphabet, self._index))
+
+
 def encode_ascii(alphabet: Alphabet, data: bytes | np.ndarray) -> np.ndarray:
     """Vectorized ASCII -> symbol-index conversion."""
     arr = np.frombuffer(data, dtype=np.uint8) if isinstance(data, (bytes, bytearray)) else np.asarray(data, dtype=np.uint8)

@@ -64,17 +64,31 @@ class FmQueryEngine:
             self.device_index = to_device(index)
         else:
             self.device_index = index
+        from .locate import count_locate_capped
+        from .search import unpack_nibbles
+
+        # Wire format: alphabets with cardinality <= 16 (nucleotide) ship
+        # queries nibble-packed; the kernels unpack on device.
+        self._wire_packed = self.device_index.alphabet.cardinality <= 16
+
+        def wrap(kernel):
+            if not self._wire_packed:
+                return kernel
+
+            def wrapped(idx, qwire, qlens, **kw):
+                return kernel(idx, unpack_nibbles(qwire), qlens, **kw)
+
+            return wrapped
+
         if use_pallas:
             from .rank_pallas import pallas_count_batch_kernel
 
-            self._count_fn = jax.jit(pallas_count_batch_kernel)
+            self._count_fn = jax.jit(wrap(pallas_count_batch_kernel))
         else:
-            self._count_fn = jax.jit(count_batch_kernel)
-        self._ranges_fn = jax.jit(search_ranges)
+            self._count_fn = jax.jit(wrap(count_batch_kernel))
+        self._ranges_fn = jax.jit(wrap(search_ranges))
         self._walk_fn = jax.jit(lf_walk)
-        from .locate import count_locate_capped
-
-        self._count_locate_fn = jax.jit(count_locate_capped, static_argnames=("cap",))
+        self._count_locate_fn = jax.jit(wrap(count_locate_capped), static_argnames=("cap",))
         self._seq_starts_host = np.asarray(self.device_index.seq_starts).astype(np.int64)
 
     # -- host-side encoding ------------------------------------------------
@@ -87,6 +101,9 @@ class FmQueryEngine:
         one LUT pass instead of a per-query Python loop.
         """
         qsyms, qlens = encode_query_batch(self.device_index.alphabet, queries)
+        if self._wire_packed:
+            packed = (qsyms[:, 0::2] | (qsyms[:, 1::2] << 4)).astype(np.uint8)
+            return jnp.asarray(packed), jnp.asarray(qlens)
         return jnp.asarray(qsyms), jnp.asarray(qlens)
 
     # -- public API --------------------------------------------------------

@@ -42,6 +42,17 @@ def _select_i32(table, idx: jax.Array) -> jax.Array:
     return out
 
 
+def unpack_nibbles(qpacked: jax.Array) -> jax.Array:
+    """Expand a nibble-packed query matrix uint8[B, L//2] (low nibble =
+    even column) back to int8[B, L] on device.  The wire format for
+    alphabets with cardinality <= 16 (nucleotide): host<->device query
+    bandwidth is the serving bottleneck, so symbols ship at 4 bits."""
+    b, half = qpacked.shape
+    lo = (qpacked & jnp.uint8(0xF)).astype(jnp.int8)
+    hi = (qpacked >> jnp.uint8(4)).astype(jnp.int8)
+    return jnp.stack([lo, hi], axis=-1).reshape(b, half * 2)
+
+
 def search_ranges(index: FmDeviceIndex, qsyms: jax.Array, qlens: jax.Array, *, update_fn=None):
     """Backward-search a batch of queries to their final BWT ranges.
 

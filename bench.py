@@ -46,7 +46,6 @@ def main() -> None:
 
     from awry_tpu import Alphabet, FmBuildArgs, build_from_records
     from awry_tpu.ops import FmQueryEngine
-    from awry_tpu.ops.engine import encode_query_batch
 
     rng = np.random.default_rng(0)
     log(f"generating {GENOME_BP/1e6:.1f} Mbp synthetic genome...")
@@ -72,8 +71,7 @@ def main() -> None:
     for _ in range(NUM_BATCHES):
         starts = rng.integers(0, GENOME_BP - QUERY_LEN, size=QUERIES_PER_BATCH)
         queries = [seq[s : s + QUERY_LEN] for s in starts]
-        qsyms, qlens = encode_query_batch(index.alphabet, queries)
-        batches.append((jnp.asarray(qsyms), jnp.asarray(qlens)))
+        batches.append(engine.encode_queries(queries))
         batch_queries.append(queries)
 
     fn = engine._count_locate_fn
