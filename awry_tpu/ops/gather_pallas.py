@@ -19,23 +19,37 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+_SEM_RING = 128  # semaphore space holds only ~512 entries; ring-share them
+_UNROLL = 8  # amortize scalar loop overhead over the per-DMA issue cost
+
+
 def _gather_kernel(tile: int):
+    assert tile % _UNROLL == 0
+
     def kernel(idx_ref, hbm_ref, out_ref, sems):
         i = pl.program_id(0)
 
-        def issue(j, _):
-            row = idx_ref[i * tile + j]
-            pltpu.make_async_copy(hbm_ref.at[row], out_ref.at[j], sems.at[j]).start()
+        # Issue all row copies back-to-back (all in flight), semaphores
+        # shared modulo the ring; counting semantics make per-copy waits
+        # correct in issue order.  Measured on v5e: the per-DMA issue cost
+        # (~65 ns) is the throughput ceiling (~15M rows/s), not HBM.
+        def issue(jj, _):
+            for u in range(_UNROLL):
+                j = jj * _UNROLL + u
+                row = idx_ref[i * tile + j]
+                pltpu.make_async_copy(hbm_ref.at[row], out_ref.at[j], sems.at[j % _SEM_RING]).start()
             return 0
 
-        jax.lax.fori_loop(0, tile, issue, 0)
+        jax.lax.fori_loop(0, tile // _UNROLL, issue, 0)
 
-        def drain(j, _):
-            row = idx_ref[i * tile + j]
-            pltpu.make_async_copy(hbm_ref.at[row], out_ref.at[j], sems.at[j]).wait()
+        def drain(jj, _):
+            for u in range(_UNROLL):
+                j = jj * _UNROLL + u
+                row = idx_ref[i * tile + j]
+                pltpu.make_async_copy(hbm_ref.at[row], out_ref.at[j], sems.at[j % _SEM_RING]).wait()
             return 0
 
-        jax.lax.fori_loop(0, tile, drain, 0)
+        jax.lax.fori_loop(0, tile // _UNROLL, drain, 0)
 
     return kernel
 
@@ -61,7 +75,7 @@ def dma_gather_rows(
         grid=(b // tile,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=pl.BlockSpec((tile, s), lambda i, idx_ref: (i, 0), memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.SemaphoreType.DMA((tile,))],
+        scratch_shapes=[pltpu.SemaphoreType.DMA((_SEM_RING,))],
     )
     return pl.pallas_call(
         _gather_kernel(tile),

@@ -56,3 +56,15 @@ def test_pallas_count_end_to_end(rng):
     counts = engine.count_batch(queries)
     for q, c in zip(queries, counts):
         assert int(c) == len(kmap[q]), q
+
+
+def test_dma_gather_rows(rng):
+    """DMA-pipelined row gather (interpret mode) vs plain indexing."""
+    import jax.numpy as jnp
+
+    from awry_tpu.ops.gather_pallas import dma_gather_rows
+
+    blocks = rng.integers(0, 2**32, size=(777, 128), dtype=np.uint32)
+    idx = rng.integers(0, 777, size=1024).astype(np.int32)
+    out = dma_gather_rows(jnp.asarray(blocks), jnp.asarray(idx), tile=256)
+    np.testing.assert_array_equal(np.asarray(out), blocks[idx])
