@@ -10,6 +10,8 @@ vectorized host engine.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from ..alphabet import Alphabet, encode_ascii, index_to_code_table
@@ -78,7 +80,18 @@ def compute_milestones(bwt_syms: np.ndarray, alphabet: Alphabet) -> tuple[np.nda
 def build_from_sequence_data(seq_data: SequenceData, args: FmBuildArgs) -> FmIndexData:
     """Assemble the full FM-index from canonical concatenated text."""
     alphabet = args.alphabet
-    sa = build_suffix_array(seq_data.text)
+    # Reuse / persist the intermediate suffix array like the reference's
+    # .sufr round trip (src/fm_index.rs:170-181, :263-265).
+    sa = None
+    sa_path = args.suffix_array_output_src
+    if sa_path and os.path.exists(sa_path):
+        cached = np.load(sa_path)
+        if cached.shape[0] == seq_data.text.shape[0] + 1:
+            sa = cached
+    if sa is None:
+        sa = build_suffix_array(seq_data.text)
+        if sa_path:
+            np.save(sa_path, sa)
     bwt_len = sa.shape[0]  # text_len + 1 (src/fm_index.rs:50,182)
     text_syms = encode_ascii(alphabet, seq_data.text).astype(np.int64)
     bwt_syms = bwt_symbols_from_sa(text_syms, sa)
@@ -104,8 +117,16 @@ def build_from_sequence_data(seq_data: SequenceData, args: FmBuildArgs) -> FmInd
         seq_starts=seq_data.start_positions.astype(np.int64),
         headers=list(seq_data.headers),
     )
-    index.kmer_table = populate_kmer_table(index)
+    if args.build_kmer_table_on_device:
+        from ..ops.device_index import to_device
+        from ..ops.kmer import populate_kmer_table_device
+
+        index.kmer_table = populate_kmer_table_device(to_device(index))
+    else:
+        index.kmer_table = populate_kmer_table(index)
     index.validate()
+    if sa_path and args.remove_intermediate_suffix_array_file and os.path.exists(sa_path):
+        os.remove(sa_path)
     return index
 
 

@@ -50,9 +50,12 @@ class FmBuildArgs:
 
     input_file_src: str | None = None
     alphabet: Alphabet = Alphabet.NUCLEOTIDE
+    suffix_array_output_src: str | None = None  # intermediate SA artifact (.npy)
     suffix_array_compression_ratio: int | None = None  # default 8 (fm_index.rs:122)
     lookup_table_kmer_len: int | None = None  # defaults 10 / 4 (kmer_lookup_table.rs:23-24)
     max_query_len: int | None = None  # accepted for parity; full-depth sort is always used
+    remove_intermediate_suffix_array_file: bool = False  # fm_index.rs:263-265
+    build_kmer_table_on_device: bool = False  # breadth-wise device build (ops/kmer.py)
 
     def resolved_sa_ratio(self) -> int:
         return self.suffix_array_compression_ratio or 8

@@ -172,11 +172,8 @@ class FmQueryEngine:
             return [[] for _ in queries]
 
         flat_rows = np.zeros(_bucket(total), dtype=np.uint32)
-        for i in range(len(queries)):
-            if counts[i]:
-                flat_rows[offsets[i] : offsets[i + 1]] = np.arange(
-                    starts64[i], ends64[i] + 1, dtype=np.uint32
-                )
+        within = np.arange(total, dtype=np.int64) - np.repeat(offsets[:-1], counts)
+        flat_rows[:total] = (np.repeat(starts64, counts) + within).astype(np.uint32)
         text_pos = self._walk_fn(self.device_index, jnp.asarray(flat_rows))
         seq_idx, local = self._localize(np.asarray(text_pos)[:total])
         return [

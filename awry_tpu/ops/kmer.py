@@ -1,0 +1,69 @@
+"""K-mer seed-table construction on device.
+
+The reference builds its table by a depth-first recursion of scalar range
+updates (kmer_lookup_table.rs:121-167).  The TPU-native shape is k
+breadth-wise rounds (SURVEY.md section 7 step 6): round `level` extends all
+base**level prefixes by every encoding symbol in ONE vectorized
+update_range over the whole next level - for the default nucleotide k=10
+that is 10 launches totalling ~1.4M range updates, and k=13 (the chr20
+benchmark config) stays practical: ~89M updates at VMEM-resident rank
+throughput.
+
+Addressing matches the host builder exactly (host_engine._kmer_address):
+address = sum dense(symbol at distance j from the k-mer end) * base**j.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..alphabet import dense_to_index_table
+from .device_index import FmDeviceIndex
+from .rank import seed_range, update_range
+
+
+@jax.jit
+def _seed_level(index: FmDeviceIndex, syms: jax.Array):
+    return seed_range(index, syms)
+
+
+@jax.jit
+def _extend_level(index: FmDeviceIndex, starts: jax.Array, ends: jax.Array, syms: jax.Array):
+    return update_range(index, starts, ends, syms)
+
+
+def populate_kmer_table_device(index: FmDeviceIndex, kmer_len: int | None = None) -> np.ndarray:
+    """Build the dense k-mer seed table on the device.
+
+    Returns uint64[base**k, 2] in the same layout as
+    host_engine.populate_kmer_table (bit-identical ranges).
+    """
+    alphabet = index.alphabet
+    base = alphabet.num_encoding_symbols
+    k = kmer_len if kmer_len is not None else index.kmer_len
+    raw_syms = dense_to_index_table(alphabet).astype(np.int32)  # dense rank -> raw index
+    syms = jnp.asarray(raw_syms)
+
+    starts, ends = _seed_level(index, syms)
+    level = 1
+    while level < k:
+        size = base**level
+        # Prepend symbol d (dense rank): new_addr = d * base**level + old_addr.
+        rep_syms = jnp.repeat(syms, size)
+        tile_starts = jnp.tile(starts, base)
+        tile_ends = jnp.tile(ends, base)
+        starts, ends = _extend_level(index, tile_starts, tile_ends, rep_syms)
+        level += 1
+
+    starts = np.asarray(starts).astype(np.int64)
+    ends = np.asarray(ends).astype(np.int64)
+    table = np.stack(
+        [np.maximum(starts, 0).astype(np.uint64), np.maximum(ends, 0).astype(np.uint64)],
+        axis=1,
+    )
+    empty = starts > ends
+    table[empty, 0] = 1  # canonical empty range (src/search.rs:51-56)
+    table[empty, 1] = 0
+    return table

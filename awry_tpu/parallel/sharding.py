@@ -196,9 +196,8 @@ class ShardedFmEngine:
         while bucket < total:
             bucket *= 2
         flat_rows = np.zeros(bucket, dtype=np.uint32)
-        for i in range(len(queries)):
-            if counts[i]:
-                flat_rows[offsets[i] : offsets[i + 1]] = np.arange(starts[i], ends[i] + 1, dtype=np.uint32)
+        within = np.arange(total, dtype=np.int64) - np.repeat(offsets[:-1], counts)
+        flat_rows[:total] = (np.repeat(starts, counts) + within).astype(np.uint32)
         text_pos = np.asarray(self._walk(self.device_index, jnp.asarray(flat_rows)))[:total]
         seq_idx = np.searchsorted(self._seq_starts_host, text_pos, side="right") - 1
         local = text_pos.astype(np.int64) - self._seq_starts_host[seq_idx]

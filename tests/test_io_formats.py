@@ -110,3 +110,26 @@ def test_parse_fastq_variants():
     assert recs == [("r1", b"ACGT"), ("r2 x", b"GG")]
     with pytest.raises(ValueError):
         parse_fastq(b"@r1\nACGT\n+\n")  # truncated
+
+
+def test_sa_intermediate_artifact(rng, tmp_path):
+    """suffix_array_output_src persists the SA; a second build reuses it;
+    remove flag deletes it (fm_index.rs:170-181, :263-265 analog)."""
+    import os
+
+    from awry_tpu import build_from_records
+
+    seq = random_seq(Alphabet.NUCLEOTIDE, rng, 300)
+    sa_path = str(tmp_path / "sa.npy")
+    args = FmBuildArgs(suffix_array_output_src=sa_path, lookup_table_kmer_len=2)
+    idx1 = build_from_records([("s", seq)], args)
+    assert os.path.exists(sa_path)
+    idx2 = build_from_records([("s", seq)], args)  # reuse path
+    np.testing.assert_array_equal(idx1.sampled_sa, idx2.sampled_sa)
+    args_rm = FmBuildArgs(
+        suffix_array_output_src=sa_path,
+        lookup_table_kmer_len=2,
+        remove_intermediate_suffix_array_file=True,
+    )
+    build_from_records([("s", seq)], args_rm)
+    assert not os.path.exists(sa_path)
