@@ -104,9 +104,14 @@ def _sharded_backstep_fn(local: FmDeviceIndex):
 
 
 class ShardedFmEngine:
-    """Multi-device count/locate engine over a ('data','shard') mesh."""
+    """Multi-device count/locate engine over a ('data','shard') mesh.
 
-    def __init__(self, index: FmIndexData, mesh=None, *, shard_size: int = 1):
+    locate_cap: hits per query returned by the fused single-dispatch
+    count+locate path; queries with more hits re-run through the unbounded
+    flat path (same contract as ops.engine.FmQueryEngine).
+    """
+
+    def __init__(self, index: FmIndexData, mesh=None, *, shard_size: int = 1, locate_cap: int = 8):
         self.mesh = mesh if mesh is not None else make_mesh(shard_size=shard_size)
         self.num_shards = self.mesh.shape[SHARD_AXIS]
         self.data_size = self.mesh.shape[DATA_AXIS]
@@ -148,6 +153,24 @@ class ShardedFmEngine:
             backstep_fn = _sharded_backstep_fn(local_index) if num_shards > 1 else None
             return lf_walk(local_index, rows, backstep_fn=backstep_fn)
 
+        cap = locate_cap
+        self.locate_cap = cap
+
+        def count_locate_fn(local_index, qsyms, qlens):
+            """Fused ranges + counts + capped LF-walk in one sharded dispatch
+            (mirrors ops.locate.count_locate_capped with collective ranks)."""
+            update_fn = _sharded_update_fn(local_index) if num_shards > 1 else None
+            backstep_fn = _sharded_backstep_fn(local_index) if num_shards > 1 else None
+            starts, ends = search_ranges(local_index, qsyms, qlens, update_fn=update_fn)
+            counts = counts_from_ranges(starts, ends)
+            b = starts.shape[0]
+            offs = jnp.arange(cap, dtype=jnp.uint32)
+            rows = starts[:, None] + offs[None, :]
+            valid = offs[None, :] < jnp.minimum(counts, jnp.uint32(cap))[:, None]
+            flat = jnp.where(valid, rows, jnp.uint32(0)).reshape(-1)
+            text_pos = lf_walk(local_index, flat, backstep_fn=backstep_fn)
+            return counts, text_pos.reshape(b, cap)
+
         qspec = P(DATA_AXIS)
         self._count = jax.jit(
             shard_map(
@@ -167,6 +190,15 @@ class ShardedFmEngine:
                 check_vma=False,
             )
         )
+        self._count_locate = jax.jit(
+            shard_map(
+                count_locate_fn,
+                mesh=self.mesh,
+                in_specs=(index_specs, P(DATA_AXIS, None), qspec),
+                out_specs=(qspec, P(DATA_AXIS, None)),
+                check_vma=False,
+            )
+        )
         self._seq_starts_host = index.seq_starts.astype(np.int64)
 
     # -- host-side encoding (bucketed padding, divisible by data axis) -----
@@ -182,6 +214,31 @@ class ShardedFmEngine:
         return np.asarray(counts)[: len(queries)].astype(np.uint64)
 
     def locate_batch(self, queries) -> list[list[tuple[int, int]]]:
+        """Fused single-dispatch count+locate up to locate_cap hits/query;
+        overflow queries re-run through the unbounded flat path."""
+        qsyms, qlens = self._encode(queries)
+        counts, text_pos = self._count_locate(self.device_index, qsyms, qlens)
+        counts = np.asarray(counts)[: len(queries)].astype(np.int64)
+        text_pos = np.asarray(text_pos)
+        seq_idx = np.searchsorted(self._seq_starts_host, text_pos, side="right") - 1
+        local = text_pos.astype(np.int64) - self._seq_starts_host[seq_idx]
+        cap = self.locate_cap
+        overflow = [i for i in range(len(queries)) if counts[i] > cap]
+        overflow_results = (
+            dict(zip(overflow, self._locate_flat([queries[i] for i in overflow])))
+            if overflow
+            else {}
+        )
+        results: list[list[tuple[int, int]]] = []
+        for i in range(len(queries)):
+            if counts[i] > cap:
+                results.append(overflow_results[i])
+            else:
+                c = int(counts[i])
+                results.append(list(zip(seq_idx[i, :c].tolist(), local[i, :c].tolist())))
+        return results
+
+    def _locate_flat(self, queries) -> list[list[tuple[int, int]]]:
         qsyms, qlens = self._encode(queries)
         _, starts, ends = self._count(self.device_index, qsyms, qlens)
         starts = np.asarray(starts)[: len(queries)].astype(np.int64)

@@ -168,3 +168,19 @@ def test_kmer_table_is_load_bearing_and_correct(alphabet, rng):
             assert ts > te, addr
         else:
             assert (ts, te) == (s, e), addr
+
+
+def test_text_with_ambiguity_runs(rng):
+    """Real genomes contain N runs inside records; N is a searchable symbol
+    (src/bwt.rs:124,128) and must count/locate exactly."""
+    from .oracle import brute_positions, localize
+
+    core = bytearray(random_seq(Alphabet.NUCLEOTIDE, rng, 400))
+    core[50:60] = b"N" * 10
+    core[200:203] = b"NNN"
+    seq = bytes(core)
+    index = build_from_records([("s", seq)], FmBuildArgs(lookup_table_kmer_len=3))
+    for q in [seq[48:62], b"N" * 5, seq[198:205], b"NNNNNNNNNNNN"]:
+        expected = brute_positions(seq, q, Alphabet.NUCLEOTIDE)
+        assert he.count(index, q) == len(expected), q
+        assert sorted(he.locate(index, q)) == sorted(localize(expected, index.seq_starts)), q

@@ -85,3 +85,14 @@ def test_range_sharding_actually_shards(rng):
     nb = engine.device_index.blocks.shape[0]
     shard_shapes = {s.data.shape for s in engine.device_index.blocks.addressable_shards}
     assert shard_shapes == {(nb // 8,) + engine.device_index.blocks.shape[1:]}
+
+
+def test_sharded_locate_cap_overflow(rng):
+    """Queries whose hit counts exceed locate_cap must fall back to the
+    unbounded path and still match the host engine."""
+    index, records = _build(Alphabet.NUCLEOTIDE, rng, n=800, kmer_len=2)
+    engine = ShardedFmEngine(index, shard_size=2, locate_cap=2)
+    queries = [b"A", b"AC", records[0][1][3:9], b""]
+    got = engine.locate_batch(queries)
+    for q, hits in zip(queries, got):
+        assert sorted(hits) == sorted(he.locate(index, q)), q
