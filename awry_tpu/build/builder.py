@@ -3,8 +3,8 @@
 TPU-native re-design of FmIndex::new (reference: src/fm_index.rs:142-268).
 The reference fills its block-of-structs BWT with a scalar pass over the
 suffix array; here every component is produced by whole-array NumPy passes
-(bit-plane packing via reshape + weighted sums, milestones via a per-block
-bincount + exclusive cumsum), then the k-mer seed table is populated with the
+(bit-plane packing via np.packbits, milestones via a per-block bincount +
+exclusive cumsum), then the k-mer seed table is populated with the
 vectorized host engine.
 """
 
@@ -23,15 +23,15 @@ from .suffix_array import build_suffix_array
 
 def bwt_symbols_from_sa(text_syms: np.ndarray, sa: np.ndarray) -> np.ndarray:
     """BWT[i] = text'[SA[i]-1] with text' = text + sentinel; row with SA==0
-    gets the sentinel symbol (src/fm_index.rs:219-228)."""
-    prev = sa - 1
-    safe_prev = np.where(prev < 0, 0, prev)
-    # text' position text_len is the sentinel itself (symbol 0); positions
-    # < text_len read the canonical text.
-    ext = np.concatenate([text_syms.astype(np.int64), np.zeros(1, dtype=np.int64)])
-    out = ext[safe_prev]
-    out[prev < 0] = 0
-    return out
+    gets the sentinel symbol (src/fm_index.rs:219-228).
+
+    One uint8 gather: the sentinel is appended at the end, and the single
+    SA==0 row indexes prev = -1, i.e. exactly that appended sentinel.
+    """
+    ext = np.empty(text_syms.shape[0] + 1, dtype=np.uint8)
+    ext[:-1] = text_syms
+    ext[-1] = 0
+    return ext[sa - 1]
 
 
 def pack_bit_planes(bwt_syms: np.ndarray, alphabet: Alphabet) -> np.ndarray:
@@ -44,17 +44,16 @@ def pack_bit_planes(bwt_syms: np.ndarray, alphabet: Alphabet) -> np.ndarray:
     """
     n = bwt_syms.shape[0]
     num_blocks = -(-n // SYMBOLS_PER_BLOCK)
-    padded = np.zeros(num_blocks * SYMBOLS_PER_BLOCK, dtype=np.int64)
-    padded[:n] = bwt_syms
-    codes = index_to_code_table(alphabet).astype(np.uint32)[padded]
-    codes[n:] = 0  # trailing pad positions carry no symbol
-    weights = (np.uint32(1) << np.arange(32, dtype=np.uint32)).astype(np.uint64)
+    codes = np.zeros(num_blocks * SYMBOLS_PER_BLOCK, dtype=np.uint8)
+    codes[:n] = index_to_code_table(alphabet)[bwt_syms]
     nv = alphabet.num_planes
     planes = np.empty((num_blocks, nv, WORDS_PER_WINDOW), dtype=np.uint32)
-    bits = codes.reshape(num_blocks, WORDS_PER_WINDOW, 32)
     for v in range(nv):
-        plane_bits = ((bits >> np.uint32(v)) & np.uint32(1)).astype(np.uint64)
-        planes[:, v, :] = (plane_bits * weights).sum(axis=-1).astype(np.uint32)
+        # np.packbits(bitorder='little') is one C pass producing exactly the
+        # little-endian bit layout the windows use.
+        plane_bits = (codes >> np.uint8(v)) & np.uint8(1)
+        packed = np.packbits(plane_bits, bitorder="little")
+        planes[:, v, :] = packed.view("<u4").reshape(num_blocks, WORDS_PER_WINDOW)
     return planes
 
 
@@ -93,7 +92,7 @@ def build_from_sequence_data(seq_data: SequenceData, args: FmBuildArgs) -> FmInd
         if sa_path:
             np.save(sa_path, sa)
     bwt_len = sa.shape[0]  # text_len + 1 (src/fm_index.rs:50,182)
-    text_syms = encode_ascii(alphabet, seq_data.text).astype(np.int64)
+    text_syms = encode_ascii(alphabet, seq_data.text)  # uint8
     bwt_syms = bwt_symbols_from_sa(text_syms, sa)
 
     planes = pack_bit_planes(bwt_syms, alphabet)
