@@ -101,6 +101,16 @@ def build_from_sequence_data(seq_data: SequenceData, args: FmBuildArgs) -> FmInd
     sa_ratio = args.resolved_sa_ratio()
     sampled_sa = sa[::sa_ratio].astype(np.uint64)  # sampling by BWT row (csa.rs:109-111)
 
+    # Text-order sampling marks (device locate fast path; index.py docstring).
+    num_blocks = planes.shape[0]
+    marked = np.zeros(num_blocks * SYMBOLS_PER_BLOCK, dtype=np.uint8)
+    marked[: sa.shape[0]] = (sa % sa_ratio) == 0
+    mark_bits = np.packbits(marked, bitorder="little").view("<u4").reshape(num_blocks, 8)
+    per_block_marked = marked.reshape(num_blocks, SYMBOLS_PER_BLOCK).sum(axis=1, dtype=np.uint32)
+    mark_milestones = np.zeros(num_blocks, dtype=np.uint32)
+    np.cumsum(per_block_marked[:-1], out=mark_milestones[1:], dtype=np.uint32)
+    text_sampled_sa = sa[marked[: sa.shape[0]].astype(bool)].astype(np.uint64)
+
     kmer_len = args.resolved_kmer_len()
     base = alphabet.num_encoding_symbols
     index = FmIndexData(
@@ -115,6 +125,9 @@ def build_from_sequence_data(seq_data: SequenceData, args: FmBuildArgs) -> FmInd
         kmer_len=kmer_len,
         seq_starts=seq_data.start_positions.astype(np.int64),
         headers=list(seq_data.headers),
+        mark_bits=mark_bits,
+        mark_milestones=mark_milestones,
+        text_sampled_sa=text_sampled_sa,
     )
     if args.build_kmer_table_on_device:
         from ..ops.device_index import to_device

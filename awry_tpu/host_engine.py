@@ -22,7 +22,7 @@ from .alphabet import (
     index_to_code_table,
     index_to_dense_table,
 )
-from .index import SYMBOLS_PER_BLOCK, FmIndexData
+from .index import FmIndexData
 
 _FULL = np.uint32(0xFFFFFFFF)
 

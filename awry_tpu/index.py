@@ -84,6 +84,19 @@ class FmIndexData:
     seq_starts: np.ndarray  # int64 [num_records]
     headers: list[str]
     version_number: int = FM_VERSION_NUMBER
+    # Text-order sampling acceleration (device locate): rows whose SA value
+    # is a multiple of sa_ratio are MARKED, which bounds the locate LF-walk
+    # at sa_ratio-1 steps (the reference's row sampling gives geometric,
+    # unbounded-tail walks; its sampled_sa above is kept for format parity).
+    # Derivable only from the full SA at build time; None on .awry imports,
+    # where engines fall back to the row-sampled walk.
+    mark_bits: np.ndarray | None = None  # uint32 [num_blocks, 8]
+    mark_milestones: np.ndarray | None = None  # uint32 [num_blocks]
+    text_sampled_sa: np.ndarray | None = None  # uint64 [num marked rows]
+
+    @property
+    def has_marks(self) -> bool:
+        return self.mark_bits is not None
 
     @property
     def num_blocks(self) -> int:

@@ -17,7 +17,7 @@ import numpy as np
 from ..alphabet import Alphabet
 from ..index import FmIndexData
 
-ARTIFACT_VERSION = 1
+ARTIFACT_VERSION = 2  # v2 adds text-sampling mark arrays (v1 loads with marks=None)
 
 
 def save_artifact(index: FmIndexData, path: str) -> None:
@@ -29,9 +29,9 @@ def save_artifact(index: FmIndexData, path: str) -> None:
         "bwt_len": index.bwt_len,
         "kmer_len": index.kmer_len,
         "headers": index.headers,
+        "has_marks": index.has_marks,
     }
-    np.savez_compressed(
-        path,
+    arrays = dict(
         meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
         planes=index.planes,
         milestones=index.milestones,
@@ -40,13 +40,21 @@ def save_artifact(index: FmIndexData, path: str) -> None:
         kmer_table=index.kmer_table,
         seq_starts=index.seq_starts,
     )
+    if index.has_marks:
+        arrays.update(
+            mark_bits=index.mark_bits,
+            mark_milestones=index.mark_milestones,
+            text_sampled_sa=index.text_sampled_sa,
+        )
+    np.savez_compressed(path, **arrays)
 
 
 def load_artifact(path: str) -> FmIndexData:
     with np.load(path) as z:
         meta = json.loads(bytes(z["meta"]).decode())
-        if meta["artifact_version"] != ARTIFACT_VERSION:
+        if meta["artifact_version"] not in (1, ARTIFACT_VERSION):
             raise ValueError(f"unsupported artifact version {meta['artifact_version']}")
+        has_marks = bool(meta.get("has_marks")) and "mark_bits" in z
         index = FmIndexData(
             alphabet=Alphabet(meta["alphabet"]),
             planes=z["planes"],
@@ -60,6 +68,9 @@ def load_artifact(path: str) -> FmIndexData:
             seq_starts=z["seq_starts"],
             headers=list(meta["headers"]),
             version_number=meta["fm_version"],
+            mark_bits=z["mark_bits"] if has_marks else None,
+            mark_milestones=z["mark_milestones"] if has_marks else None,
+            text_sampled_sa=z["text_sampled_sa"] if has_marks else None,
         )
     index.validate()
     return index

@@ -27,16 +27,23 @@ from ..index import FmIndexData
 
 def fused_row_words(alphabet: Alphabet) -> int:
     """uint32 words per fused block row: V*8 plane words + cardinality
-    milestone words, padded to a multiple of 8 (nucleotide: 24+6 -> 32 words
-    = exactly one 128 B HBM line; amino: 40+22 -> 64 words = 256 B)."""
-    raw = alphabet.num_planes * 8 + alphabet.cardinality
+    milestone words + 8 text-sampling mark words + 1 mark milestone, padded
+    to a multiple of 8 (nucleotide: 24+6+8+1 -> 40 words = 160 B; amino:
+    40+22+8+1 -> 72 words = 288 B).  One row per rank OR walk step."""
+    raw = alphabet.num_planes * 8 + alphabet.cardinality + 8 + 1
     return -(-raw // 8) * 8
 
 
+def mark_words_offset(alphabet: Alphabet) -> int:
+    """Word offset of the 8 mark words within a fused row (mark milestone
+    follows immediately after)."""
+    return alphabet.num_planes * 8 + alphabet.cardinality
+
+
 @partial(jax.tree_util.register_dataclass, data_fields=[
-    "blocks", "prefix_sums", "sampled_sa", "kmer_table", "seq_starts",
+    "blocks", "prefix_sums", "sampled_sa", "text_sampled_sa", "kmer_table", "seq_starts",
     "index_to_code", "code_to_index", "index_to_dense",
-], meta_fields=["alphabet", "sa_ratio", "bwt_len", "kmer_len"])
+], meta_fields=["alphabet", "sa_ratio", "bwt_len", "kmer_len", "has_marks"])
 @dataclasses.dataclass(frozen=True)
 class FmDeviceIndex:
     """jnp mirror of FmIndexData plus the small codec LUTs the kernels need.
@@ -53,6 +60,7 @@ class FmDeviceIndex:
     blocks: jax.Array  # uint32 [num_blocks, fused_row_words]
     prefix_sums: jax.Array  # uint32 [cardinality + 1]
     sampled_sa: jax.Array  # uint32 [ceil(bwt_len / sa_ratio)]
+    text_sampled_sa: jax.Array  # uint32 [num marked rows]; == sampled_sa when marks absent
     kmer_table: jax.Array  # uint32 [base**kmer_len, 2]
     seq_starts: jax.Array  # uint32 [num_records]
     index_to_code: jax.Array  # uint32 [cardinality]
@@ -62,6 +70,7 @@ class FmDeviceIndex:
     sa_ratio: int
     bwt_len: int
     kmer_len: int
+    has_marks: bool
 
     @property
     def num_planes(self) -> int:
@@ -70,6 +79,10 @@ class FmDeviceIndex:
     @property
     def plane_words(self) -> int:
         return self.alphabet.num_planes * 8
+
+    @property
+    def mark_offset(self) -> int:
+        return mark_words_offset(self.alphabet)
 
 
 def build_fused_blocks(index: FmIndexData) -> np.ndarray:
@@ -81,6 +94,10 @@ def build_fused_blocks(index: FmIndexData) -> np.ndarray:
     fused = np.zeros((nb, row_words), dtype=np.uint32)
     fused[:, : v * 8] = index.planes.reshape(nb, v * 8)
     fused[:, v * 8 : v * 8 + c] = index.milestones.astype(np.uint32)
+    if index.has_marks:
+        off = mark_words_offset(index.alphabet)
+        fused[:, off : off + 8] = index.mark_bits
+        fused[:, off + 8] = index.mark_milestones
     return fused
 
 
@@ -93,7 +110,8 @@ def to_device(index: FmIndexData, *, sharding=None) -> FmDeviceIndex:
     """
     if index.bwt_len >= 2**32:
         raise NotImplementedError(
-            "single-device engine is uint32-positioned; range-shard texts >= 4 Gbp"
+            "device engines are uint32-positioned (texts < 4 Gbp); larger"
+            " pan-genome indexes need 64-bit position kernels (planned)"
         )
 
     def put(name: str, arr: np.ndarray) -> jax.Array:
@@ -101,10 +119,14 @@ def to_device(index: FmIndexData, *, sharding=None) -> FmDeviceIndex:
             return jax.device_put(arr, sharding[name])
         return jnp.asarray(arr)
 
+    text_sampled = (
+        index.text_sampled_sa if index.has_marks else index.sampled_sa
+    )
     return FmDeviceIndex(
         blocks=put("blocks", build_fused_blocks(index)),
         prefix_sums=put("prefix_sums", index.prefix_sums.astype(np.uint32)),
         sampled_sa=put("sampled_sa", index.sampled_sa.astype(np.uint32)),
+        text_sampled_sa=put("text_sampled_sa", text_sampled.astype(np.uint32)),
         kmer_table=put("kmer_table", index.kmer_table.astype(np.uint32)),
         seq_starts=put("seq_starts", index.seq_starts.astype(np.uint32)),
         index_to_code=put("index_to_code", index_to_code_table(index.alphabet).astype(np.uint32)),
@@ -114,4 +136,5 @@ def to_device(index: FmIndexData, *, sharding=None) -> FmDeviceIndex:
         sa_ratio=index.sa_ratio,
         bwt_len=index.bwt_len,
         kmer_len=index.kmer_len,
+        has_marks=index.has_marks,
     )

@@ -1,10 +1,22 @@
-"""Batched locate: LF-walk to sampled suffix-array rows, on device.
+"""Batched locate: LF-walk to sampled positions, on device.
 
-The reference walks each BWT row with a data-dependent scalar loop
-(src/fm_index.rs:516-544).  On TPU the whole flat batch of rows walks in
-lock-step under one `lax.while_loop`: every iteration backsteps all
-still-unsampled rows at once (masked), so the trip count is the batch
-maximum (~expected sa_ratio steps) instead of the per-row sum.
+The reference walks each BWT row with a data-dependent scalar loop until it
+hits a ROW-sampled entry (src/fm_index.rs:516-544); row sampling makes walk
+lengths geometric with an unbounded tail, and a lock-step batched walk pays
+the batch MAXIMUM (~ln(B)/ln(r/(r-1)) trips - measured ~57 full-batch
+backsteps for 256k rows at r=8).
+
+The device engine therefore walks to TEXT-sampled positions instead: rows
+whose SA value is a multiple of sa_ratio are MARKED (mark bits + mark
+milestone live in the same fused block row as the rank data, so checking
+the mark costs nothing extra), and walking backward decrements the text
+position by one per step, so a marked row is reached within sa_ratio-1
+steps - a deterministic bound, turning the while-loop into a short fori
+loop.  The recovered text position is identical to the reference's
+(pos = sampled_value + steps), so results stay bit-exact; the row-sampled
+array is still built and persisted for .awry format parity, and indexes
+loaded without mark data (e.g. from AWRY's own files) fall back to the
+row-sampled walk.
 
 Ragged per-query outputs are handled two-phase (count -> offsets -> flat
 fill), the count-then-fill plan from SURVEY.md section 7.
@@ -15,25 +27,83 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ..alphabet import code_to_index_table
 from .device_index import FmDeviceIndex
-from .rank import backstep
+from .rank import (
+    backstep,
+    fetch_rows_t,
+    occurrence_from_rows_t,
+    prefix_sum_select,
+    select_rows,
+    select_u32,
+    symbol_code_t,
+)
+
+_FULL = 0xFFFFFFFF
 
 
-def lf_walk(index: FmDeviceIndex, rows: jax.Array, *, backstep_fn=None):
-    """Walk each BWT row to its nearest sampled row.
+def _mark_bit_t(index: FmDeviceIndex, rows_t: jax.Array, pos: jax.Array) -> jax.Array:
+    """1 where the row's SA value is text-sampled (mark bits in the fused row)."""
+    local = pos & jnp.uint32(255)
+    word = (local >> 5).astype(jnp.int32)
+    bit = (local & jnp.uint32(31)).astype(jnp.uint32)
+    lane_word = select_rows(rows_t, index.mark_offset, 8, word)
+    return (lane_word >> bit) & jnp.uint32(1)
 
-    rows: uint32[N].  Returns (text_pos uint32[N], seq_idx int32[N],
-    local_pos uint32[N]).
 
-    Sampling is by BWT row (row % sa_ratio == 0,
-    src/compressed_suffix_array.rs:109-111); the recovered position is
-    (sampled_value + steps) % bwt_len (src/fm_index.rs:533-534).
+def _mark_rank_t(index: FmDeviceIndex, rows_t: jax.Array, pos: jax.Array) -> jax.Array:
+    """Number of marked rows strictly before `pos` within the whole BWT:
+    mark milestone + exclusive masked popcount of the block's mark words."""
+    local = (pos & jnp.uint32(255)).astype(jnp.uint32)
+    word = (local >> 5)[None, :]
+    lane = jax.lax.broadcasted_iota(jnp.uint32, (8, 1), 0)
+    # Exclusive mask: bits [0, local) of the 256-bit mark window.
+    in_word = ((jnp.uint32(1) << (local & jnp.uint32(31))) - jnp.uint32(1))[None, :]
+    mask = jnp.where(lane < word, jnp.uint32(_FULL), jnp.where(lane == word, in_word, jnp.uint32(0)))
+    marks = rows_t[index.mark_offset : index.mark_offset + 8]
+    pop = jax.lax.population_count(marks & mask).sum(axis=0, dtype=jnp.uint32)
+    return rows_t[index.mark_offset + 8] + pop
 
-    backstep_fn: optional override of the LF step (range-sharded engines
-    substitute a psum-merged backstep).
-    """
-    if backstep_fn is None:
-        backstep_fn = lambda rw: backstep(index, rw)  # noqa: E731
+
+def _backstep_from_rows(index: FmDeviceIndex, rows_t: jax.Array, pos: jax.Array) -> jax.Array:
+    """One LF step reusing already-fetched fused rows."""
+    c2i = code_to_index_table(index.alphabet)
+    sym = select_u32(c2i, symbol_code_t(index, rows_t, pos)).astype(jnp.int32)
+    is_sentinel = sym == 0
+    safe = jnp.where(is_sentinel, index.alphabet.ambiguity_idx, sym)
+    occ = occurrence_from_rows_t(index, rows_t, pos, safe)
+    stepped = prefix_sum_select(index, safe) + occ - jnp.uint32(1)
+    return jnp.where(is_sentinel, jnp.uint32(0), stepped)
+
+
+def _marked_walk(index: FmDeviceIndex, rows: jax.Array) -> jax.Array:
+    """Deterministically bounded walk to text-sampled rows; returns text_pos."""
+
+    def body(_, carry):
+        rw, steps, done = carry
+        rows_t = fetch_rows_t(index, rw)
+        now_marked = _mark_bit_t(index, rows_t, rw) == 1
+        done_now = done | now_marked
+        stepped = _backstep_from_rows(index, rows_t, rw)
+        rw = jnp.where(done_now, rw, stepped)
+        steps = steps + jnp.where(done_now, jnp.uint32(0), jnp.uint32(1))
+        return rw, steps, done_now
+
+    steps0 = jnp.zeros_like(rows)
+    done0 = jnp.zeros(rows.shape, dtype=bool)
+    # A marked row is reached within sa_ratio - 1 steps (text positions
+    # decrement by one per step and every sa_ratio-th position is marked).
+    walked, steps, _ = jax.lax.fori_loop(0, index.sa_ratio - 1, body, (rows, steps0, done0))
+
+    final_rows_t = fetch_rows_t(index, walked)
+    idx = _mark_rank_t(index, final_rows_t, walked).astype(jnp.int32)
+    sa_vals = index.text_sampled_sa[idx]
+    return (sa_vals + steps) % jnp.uint32(index.bwt_len)
+
+
+def _row_sampled_walk(index: FmDeviceIndex, rows: jax.Array, backstep_fn) -> jax.Array:
+    """Reference-style walk to row-sampled entries (fallback when mark data
+    is unavailable, and for collective backstep overrides)."""
     r = jnp.uint32(index.sa_ratio)
 
     def unsampled(rw):
@@ -53,10 +123,21 @@ def lf_walk(index: FmDeviceIndex, rows: jax.Array, *, backstep_fn=None):
 
     steps0 = jnp.zeros_like(rows)
     walked, steps = jax.lax.while_loop(cond, body, (rows, steps0))
-
     sa_vals = index.sampled_sa[(walked // r).astype(jnp.int32)]
-    text_pos = (sa_vals + steps) % jnp.uint32(index.bwt_len)
-    return text_pos
+    return (sa_vals + steps) % jnp.uint32(index.bwt_len)
+
+
+def lf_walk(index: FmDeviceIndex, rows: jax.Array, *, backstep_fn=None) -> jax.Array:
+    """Walk each BWT row to its recovered text position.
+
+    rows: uint32[N] -> text_pos uint32[N].  Uses the bounded marked walk
+    when the index carries mark data and no backstep override is given.
+    """
+    if backstep_fn is None and index.has_marks:
+        return _marked_walk(index, rows)
+    if backstep_fn is None:
+        backstep_fn = lambda rw: backstep(index, rw)  # noqa: E731
+    return _row_sampled_walk(index, rows, backstep_fn)
 
 
 def count_locate_capped(index: FmDeviceIndex, qsyms: jax.Array, qlens: jax.Array, cap: int):

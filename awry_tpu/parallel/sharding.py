@@ -30,7 +30,7 @@ from jax import shard_map
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..index import FmIndexData
-from ..ops.device_index import FmDeviceIndex, build_fused_blocks, to_device
+from ..ops.device_index import FmDeviceIndex, to_device
 from ..ops.locate import lf_walk
 from ..ops.rank import occurrence_from_rows, symbol_code_from_rows
 from ..ops.search import counts_from_ranges, search_ranges
@@ -122,11 +122,21 @@ class ShardedFmEngine:
 
         host = index
         if self.num_shards > 1:
-            host = dataclasses.replace(
-                index,
+            replaced = dict(
                 planes=_pad_blocks(index.planes, self.num_shards),
                 milestones=_pad_blocks(index.milestones, self.num_shards),
             )
+            if index.has_marks:
+                # Padded blocks carry no marks; their milestone must still be
+                # monotone (total marked count) for safe unreachable gathers.
+                pad = _pad_blocks(index.mark_milestones[:, None], self.num_shards)[:, 0]
+                total = np.uint32(index.text_sampled_sa.shape[0])
+                pad[index.mark_milestones.shape[0] :] = total
+                replaced.update(
+                    mark_bits=_pad_blocks(index.mark_bits, self.num_shards),
+                    mark_milestones=pad,
+                )
+            host = dataclasses.replace(index, **replaced)
         placement = {name: replicated for name in (
             "prefix_sums", "sampled_sa", "kmer_table", "seq_starts",
             "index_to_code", "code_to_index", "index_to_dense",

@@ -98,3 +98,26 @@ def test_device_locate_sa_ratios(sa_ratio, rng):
     queries = list(kmap.keys())[:80]
     for q, locs in zip(queries, engine.locate_batch(queries)):
         assert sorted(p for _, p in locs) == sorted(kmap[q])
+
+
+def test_marked_walk_matches_row_sampled_walk(rng):
+    """The text-sampled marked walk and the reference-style row-sampled walk
+    must recover identical text positions for every BWT row."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from awry_tpu.ops.locate import lf_walk
+
+    index, _ = _build(Alphabet.NUCLEOTIDE, rng, n=700, sa_ratio=8)
+    dev = to_device(index)
+    assert dev.has_marks
+    legacy_host = dataclasses.replace(
+        index, mark_bits=None, mark_milestones=None, text_sampled_sa=None
+    )
+    dev_legacy = to_device(legacy_host)
+    assert not dev_legacy.has_marks
+    rows = jnp.asarray(rng.integers(0, index.bwt_len, size=256), dtype=jnp.uint32)
+    fast = np.asarray(lf_walk(dev, rows))
+    slow = np.asarray(lf_walk(dev_legacy, rows))
+    np.testing.assert_array_equal(fast, slow)

@@ -133,3 +133,15 @@ def test_sa_intermediate_artifact(rng, tmp_path):
     )
     build_from_records([("s", seq)], args_rm)
     assert not os.path.exists(sa_path)
+
+
+def test_artifact_round_trips_marks(rng, tmp_path):
+    index, _ = _build(Alphabet.NUCLEOTIDE, rng)
+    assert index.has_marks
+    p = str(tmp_path / "m.npz")
+    save_artifact(index, p)
+    loaded = load_artifact(p)
+    assert loaded.has_marks
+    np.testing.assert_array_equal(loaded.mark_bits, index.mark_bits)
+    np.testing.assert_array_equal(loaded.mark_milestones, index.mark_milestones)
+    np.testing.assert_array_equal(loaded.text_sampled_sa, index.text_sampled_sa)
