@@ -26,12 +26,19 @@ def bwt_symbols_from_sa(text_syms: np.ndarray, sa: np.ndarray) -> np.ndarray:
     gets the sentinel symbol (src/fm_index.rs:219-228).
 
     One uint8 gather: the sentinel is appended at the end, and the single
-    SA==0 row indexes prev = -1, i.e. exactly that appended sentinel.
+    SA==0 row indexes prev = -1 == text_len, i.e. exactly that appended
+    sentinel.  The gather is random-access over the whole text (latency
+    bound) and runs through the OpenMP native helper.
     """
-    ext = np.empty(text_syms.shape[0] + 1, dtype=np.uint8)
+    from .suffix_array import gather_u8
+
+    n = text_syms.shape[0]
+    ext = np.empty(n + 1, dtype=np.uint8)
     ext[:-1] = text_syms
     ext[-1] = 0
-    return ext[sa - 1]
+    idx = sa - 1
+    idx[idx < 0] = n
+    return gather_u8(ext, idx)
 
 
 def pack_bit_planes(bwt_syms: np.ndarray, alphabet: Alphabet) -> np.ndarray:
@@ -63,10 +70,14 @@ def compute_milestones(bwt_syms: np.ndarray, alphabet: Alphabet) -> tuple[np.nda
     n = bwt_syms.shape[0]
     c = alphabet.cardinality
     num_blocks = -(-n // SYMBOLS_PER_BLOCK)
-    block_ids = np.arange(n, dtype=np.int64) >> 8
-    per_block = np.bincount(block_ids * c + bwt_syms, minlength=num_blocks * c).reshape(
-        num_blocks, c
-    )
+    # Per-symbol uint8 compare + block-row sums: no 64-bit key temporaries
+    # (a bincount over arange-derived keys costs minutes at 250M symbols).
+    padded = np.full(num_blocks * SYMBOLS_PER_BLOCK, 255, dtype=np.uint8)
+    padded[:n] = bwt_syms
+    rows = padded.reshape(num_blocks, SYMBOLS_PER_BLOCK)
+    per_block = np.empty((num_blocks, c), dtype=np.uint64)
+    for s in range(c):
+        per_block[:, s] = (rows == s).sum(axis=1, dtype=np.uint32)
     cum = np.cumsum(per_block, axis=0, dtype=np.uint64)
     milestones = np.zeros_like(cum)
     milestones[1:] = cum[:-1]

@@ -36,9 +36,16 @@ def _load_native():
             return _lib_handle
         try:
             if (not os.path.exists(_LIB)) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
-                cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-o", _LIB, _SRC]
+                cmd = ["g++", "-O3", "-std=c++17", "-fopenmp", "-shared", "-fPIC", "-o", _LIB, _SRC]
                 subprocess.run(cmd, check=True, capture_output=True)
             lib = ctypes.CDLL(_LIB)
+            lib.awry_gather_u8.restype = ctypes.c_int
+            lib.awry_gather_u8.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_int64,
+            ]
             lib.awry_sais_i32.restype = ctypes.c_int
             lib.awry_sais_i32.argtypes = [
                 ctypes.POINTER(ctypes.c_uint8),
@@ -124,3 +131,21 @@ def build_suffix_array(text: np.ndarray | bytes, *, force_fallback: bool = False
     if rc != 0:
         raise RuntimeError(f"native SA-IS failed with code {rc}")
     return sa.astype(np.int64)
+
+
+def gather_u8(src: np.ndarray, idx: np.ndarray) -> np.ndarray:
+    """Parallel dst[i] = src[idx[i]] for uint8 src / int64 idx (falls back to
+    NumPy fancy indexing when the native library is unavailable)."""
+    src = np.ascontiguousarray(src, dtype=np.uint8)
+    idx = np.ascontiguousarray(idx, dtype=np.int64)
+    lib = _load_native()
+    if lib is None:
+        return src[idx]
+    dst = np.empty(idx.shape[0], dtype=np.uint8)
+    lib.awry_gather_u8(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(idx.shape[0]),
+    )
+    return dst

@@ -131,6 +131,15 @@ void sais_core(const C* s, I* sa, I n, I K) {
 
 extern "C" {
 
+// Parallel random gather dst[i] = src[idx[i]] — the BWT-from-SA pass is a
+// 250M-element random byte gather, memory-latency bound; OpenMP threads
+// hide miss latency across cores.
+int awry_gather_u8(const uint8_t* src, const int64_t* idx, uint8_t* dst, int64_t n) {
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; ++i) dst[i] = src[idx[i]];
+  return 0;
+}
+
 // Returns 0 on success. text[n-1] must be the unique smallest byte.
 int awry_sais_i32(const uint8_t* text, int32_t n, int32_t* sa) {
   if (n <= 0) return -1;

@@ -25,12 +25,14 @@ from ..alphabet import (
 from ..index import FmIndexData
 
 
-def fused_row_words(alphabet: Alphabet) -> int:
+def fused_row_words(alphabet: Alphabet, has_marks: bool = True) -> int:
     """uint32 words per fused block row: V*8 plane words + cardinality
-    milestone words + 8 text-sampling mark words + 1 mark milestone, padded
-    to a multiple of 8 (nucleotide: 24+6+8+1 -> 40 words = 160 B; amino:
-    40+22+8+1 -> 72 words = 288 B).  One row per rank OR walk step."""
-    raw = alphabet.num_planes * 8 + alphabet.cardinality + 8 + 1
+    milestone words [+ 8 text-sampling mark words + 1 mark milestone],
+    padded to a multiple of 8.  Nucleotide: 24+6 -> 32 words = exactly one
+    128 B HBM line without marks, 40 words with; amino: 64 / 72 words.
+    Indexes without mark data (.awry imports) keep the slimmer row - they
+    never read mark words and shouldn't pay +25% per rank for them."""
+    raw = alphabet.num_planes * 8 + alphabet.cardinality + (9 if has_marks else 0)
     return -(-raw // 8) * 8
 
 
@@ -90,7 +92,7 @@ def build_fused_blocks(index: FmIndexData) -> np.ndarray:
     nb = index.num_blocks
     v = index.alphabet.num_planes
     c = index.alphabet.cardinality
-    row_words = fused_row_words(index.alphabet)
+    row_words = fused_row_words(index.alphabet, index.has_marks)
     fused = np.zeros((nb, row_words), dtype=np.uint32)
     fused[:, : v * 8] = index.planes.reshape(nb, v * 8)
     fused[:, v * 8 : v * 8 + c] = index.milestones.astype(np.uint32)

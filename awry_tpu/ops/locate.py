@@ -27,17 +27,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..alphabet import code_to_index_table
 from .device_index import FmDeviceIndex
-from .rank import (
-    backstep,
-    fetch_rows_t,
-    occurrence_from_rows_t,
-    prefix_sum_select,
-    select_rows,
-    select_u32,
-    symbol_code_t,
-)
+from .rank import backstep, backstep_from_rows_t, fetch_rows_t, select_rows
 
 _FULL = 0xFFFFFFFF
 
@@ -65,17 +56,6 @@ def _mark_rank_t(index: FmDeviceIndex, rows_t: jax.Array, pos: jax.Array) -> jax
     return rows_t[index.mark_offset + 8] + pop
 
 
-def _backstep_from_rows(index: FmDeviceIndex, rows_t: jax.Array, pos: jax.Array) -> jax.Array:
-    """One LF step reusing already-fetched fused rows."""
-    c2i = code_to_index_table(index.alphabet)
-    sym = select_u32(c2i, symbol_code_t(index, rows_t, pos)).astype(jnp.int32)
-    is_sentinel = sym == 0
-    safe = jnp.where(is_sentinel, index.alphabet.ambiguity_idx, sym)
-    occ = occurrence_from_rows_t(index, rows_t, pos, safe)
-    stepped = prefix_sum_select(index, safe) + occ - jnp.uint32(1)
-    return jnp.where(is_sentinel, jnp.uint32(0), stepped)
-
-
 def _marked_walk(index: FmDeviceIndex, rows: jax.Array) -> jax.Array:
     """Deterministically bounded walk to text-sampled rows; returns text_pos."""
 
@@ -84,7 +64,7 @@ def _marked_walk(index: FmDeviceIndex, rows: jax.Array) -> jax.Array:
         rows_t = fetch_rows_t(index, rw)
         now_marked = _mark_bit_t(index, rows_t, rw) == 1
         done_now = done | now_marked
-        stepped = _backstep_from_rows(index, rows_t, rw)
+        stepped = backstep_from_rows_t(index, rows_t, rw)
         rw = jnp.where(done_now, rw, stepped)
         steps = steps + jnp.where(done_now, jnp.uint32(0), jnp.uint32(1))
         return rw, steps, done_now

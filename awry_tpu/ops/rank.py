@@ -150,14 +150,14 @@ def symbol_at(index: FmDeviceIndex, pos: jax.Array) -> jax.Array:
     return select_u32(c2i, symbol_code_t(index, rows_t, pos)).astype(jnp.int32)
 
 
-def backstep(index: FmDeviceIndex, pos: jax.Array) -> jax.Array:
-    """One LF step per row (src/fm_index.rs:585-593); sentinel rows -> 0.
+def backstep_from_rows_t(index: FmDeviceIndex, rows_t: jax.Array, pos: jax.Array) -> jax.Array:
+    """One LF step per row given pre-fetched transposed rows
+    (src/fm_index.rs:585-593); sentinel rows -> 0.
 
     Fused: the symbol read and its rank share ONE row fetch (the reference
     does symbol_at + global_occurrence as two block reads,
     src/fm_index.rs:586-591).
     """
-    rows_t = fetch_rows_t(index, pos)
     c2i = code_to_index_table(index.alphabet)
     sym = select_u32(c2i, symbol_code_t(index, rows_t, pos)).astype(jnp.int32)
     is_sentinel = sym == 0
@@ -165,6 +165,11 @@ def backstep(index: FmDeviceIndex, pos: jax.Array) -> jax.Array:
     occ = occurrence_from_rows_t(index, rows_t, pos, safe)
     stepped = prefix_sum_select(index, safe) + occ - jnp.uint32(1)
     return jnp.where(is_sentinel, jnp.uint32(0), stepped)
+
+
+def backstep(index: FmDeviceIndex, pos: jax.Array) -> jax.Array:
+    """One LF step per row (fetch + backstep_from_rows_t)."""
+    return backstep_from_rows_t(index, fetch_rows_t(index, pos), pos)
 
 
 # -- compatibility aliases used by the sharded engine ----------------------

@@ -138,7 +138,7 @@ class ShardedFmEngine:
                 )
             host = dataclasses.replace(index, **replaced)
         placement = {name: replicated for name in (
-            "prefix_sums", "sampled_sa", "kmer_table", "seq_starts",
+            "prefix_sums", "sampled_sa", "text_sampled_sa", "kmer_table", "seq_starts",
             "index_to_code", "code_to_index", "index_to_dense",
         )}
         placement["blocks"] = block_sharded if self.num_shards > 1 else replicated

@@ -121,3 +121,23 @@ def test_marked_walk_matches_row_sampled_walk(rng):
     fast = np.asarray(lf_walk(dev, rows))
     slow = np.asarray(lf_walk(dev_legacy, rows))
     np.testing.assert_array_equal(fast, slow)
+
+
+def test_device_engine_from_awry_import(rng, tmp_path):
+    """An .awry-imported index (no mark data) must serve identical device
+    results through the fallback walk."""
+    from awry_tpu.io.awry_format import load_awry, save_awry
+
+    index, records = _build(Alphabet.NUCLEOTIDE, rng, n=600)
+    path = str(tmp_path / "x.awry")
+    save_awry(index, path)
+    loaded = load_awry(path)
+    assert not loaded.has_marks
+    native = FmQueryEngine(index)
+    imported = FmQueryEngine(loaded)
+    queries = [records[0][1][i : i + 9] for i in range(0, 120, 11)] + [b"", b"A"]
+    np.testing.assert_array_equal(
+        imported.count_batch(queries), native.count_batch(queries)
+    )
+    for a, b in zip(imported.locate_batch(queries), native.locate_batch(queries)):
+        assert sorted(a) == sorted(b)
