@@ -28,7 +28,7 @@ import numpy as np
 AWRY_32T_ESTIMATE_QPS = 5.0e6
 
 GENOME_BP = 4_600_000
-QUERIES_PER_BATCH = 100_000
+QUERIES_PER_BATCH = 131_072  # fills the power-of-two padding bucket exactly
 NUM_BATCHES = 4
 QUERY_LEN = 30
 SA_RATIO = 8
