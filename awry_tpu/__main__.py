@@ -40,36 +40,30 @@ def cmd_build(args) -> int:
         )
     )
     out = args.output or (args.input + (".awry" if args.awry else ".npz"))
+    if args.awry and not out.endswith(".awry"):
+        print(
+            f"error: --awry requires a .awry output path (got {out})", file=sys.stderr
+        )
+        return 2
     fm.save(out)
     report = fm.memory_report()
+    num_records = len(fm.data.headers)
+    record_symbols = fm.bwt_len() - 1 - (num_records - 1)  # minus inter-record delims
     print(
         f"built {out} in {time.perf_counter()-t0:.1f}s: "
-        f"{fm.bwt_len()-1} symbols, {len(fm.data.headers)} records, "
+        f"{record_symbols} symbols, {num_records} records, "
         f"{report['total']/1e6:.1f} MB",
         file=sys.stderr,
     )
     return 0
 
 
-def _engine(fm, host: bool):
-    if host:
-        return None
-    try:
-        from .ops.engine import FmQueryEngine
-
-        return FmQueryEngine(fm.data)
-    except Exception as e:  # no usable device runtime
-        print(f"(device engine unavailable: {e}; using host engine)", file=sys.stderr)
-        return None
-
-
 def cmd_count(args) -> int:
+    from . import host_engine as he
+
     fm = _load(args.index)
-    engine = _engine(fm, args.host)
     counts = (
-        engine.count_batch(args.queries)
-        if engine
-        else fm.parallel_count(args.queries)
+        he.count_batch(fm.data, args.queries) if args.host else fm.parallel_count(args.queries)
     )
     for q, c in zip(args.queries, counts):
         print(f"{q}\t{int(c)}")
@@ -77,13 +71,16 @@ def cmd_count(args) -> int:
 
 
 def cmd_locate(args) -> int:
+    from . import host_engine as he
+
     fm = _load(args.index)
-    engine = _engine(fm, args.host)
-    hits_per_query = (
-        engine.locate_batch(args.queries)
-        if engine
-        else [[(p.sequence_idx(), p.local_position()) for p in hits] for hits in fm.parallel_locate(args.queries)]
-    )
+    if args.host:
+        hits_per_query = he.locate_batch(fm.data, args.queries)
+    else:
+        hits_per_query = [
+            [(p.sequence_idx(), p.local_position()) for p in hits]
+            for hits in fm.parallel_locate(args.queries)
+        ]
     for q, hits in zip(args.queries, hits_per_query):
         for seq_idx, pos in sorted(hits):
             header = fm.data.headers[seq_idx]
