@@ -154,7 +154,18 @@ class ShardedFmEngine:
 
         num_shards = self.num_shards
 
+        # Same nibble wire format as the single-device engine.
+        self._wire_packed = self.alphabet.cardinality <= 16
+
+        def _unwire(qsyms):
+            if self._wire_packed:
+                from ..ops.search import unpack_nibbles
+
+                return unpack_nibbles(qsyms)
+            return qsyms
+
         def count_fn(local_index, qsyms, qlens):
+            qsyms = _unwire(qsyms)
             update_fn = _sharded_update_fn(local_index) if num_shards > 1 else None
             starts, ends = search_ranges(local_index, qsyms, qlens, update_fn=update_fn)
             return counts_from_ranges(starts, ends), starts, ends
@@ -169,6 +180,7 @@ class ShardedFmEngine:
         def count_locate_fn(local_index, qsyms, qlens):
             """Fused ranges + counts + capped LF-walk in one sharded dispatch
             (mirrors ops.locate.count_locate_capped with collective ranks)."""
+            qsyms = _unwire(qsyms)
             update_fn = _sharded_update_fn(local_index) if num_shards > 1 else None
             backstep_fn = _sharded_backstep_fn(local_index) if num_shards > 1 else None
             starts, ends = search_ranges(local_index, qsyms, qlens, update_fn=update_fn)
@@ -216,6 +228,8 @@ class ShardedFmEngine:
         from ..ops.engine import encode_query_batch
 
         qsyms, qlens = encode_query_batch(self.alphabet, queries, min_batch=self.data_size)
+        if self._wire_packed:
+            qsyms = (qsyms[:, 0::2] | (qsyms[:, 1::2] << 4)).astype(np.uint8)
         return jnp.asarray(qsyms), jnp.asarray(qlens)
 
     def count_batch(self, queries) -> np.ndarray:
