@@ -213,6 +213,8 @@ def populate_kmer_table(index: FmIndexData) -> np.ndarray:
     alphabet = index.alphabet
     base = alphabet.num_encoding_symbols
     k = index.kmer_len
+    if k == 0:  # table disabled: single canonical-empty entry, never read
+        return np.array([[1, 0]], dtype=np.uint64)
     raw_syms = np.flatnonzero(index_to_dense_table(alphabet) >= 0).astype(np.int64)
 
     starts, ends = seed_range(index, raw_syms)  # address j -> dense symbol j

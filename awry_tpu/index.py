@@ -61,7 +61,10 @@ class FmBuildArgs:
         return self.suffix_array_compression_ratio or 8
 
     def resolved_kmer_len(self) -> int:
-        return self.lookup_table_kmer_len or self.alphabet.default_kmer_len
+        """None -> alphabet default (10/4); explicit 0 disables the table."""
+        if self.lookup_table_kmer_len is None:
+            return self.alphabet.default_kmer_len
+        return self.lookup_table_kmer_len
 
 
 @dataclasses.dataclass

@@ -43,6 +43,8 @@ def populate_kmer_table_device(index: FmDeviceIndex, kmer_len: int | None = None
     alphabet = index.alphabet
     base = alphabet.num_encoding_symbols
     k = kmer_len if kmer_len is not None else index.kmer_len
+    if k == 0:  # table disabled: single canonical-empty entry, never read
+        return np.array([[1, 0]], dtype=np.uint64)
     raw_syms = dense_to_index_table(alphabet).astype(np.int32)  # dense rank -> raw index
     syms = jnp.asarray(raw_syms)
 

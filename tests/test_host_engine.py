@@ -184,3 +184,15 @@ def test_text_with_ambiguity_runs(rng):
         expected = brute_positions(seq, q, Alphabet.NUCLEOTIDE)
         assert he.count(index, q) == len(expected), q
         assert sorted(he.locate(index, q)) == sorted(localize(expected, index.seq_starts)), q
+
+
+def test_kmer_table_disabled(rng):
+    """lookup_table_kmer_len=0 disables seeding entirely; results unchanged."""
+    records = [("s", random_seq(Alphabet.NUCLEOTIDE, rng, 400))]
+    no_table = build_from_records(records, FmBuildArgs(lookup_table_kmer_len=0))
+    with_table = build_from_records(records, FmBuildArgs(lookup_table_kmer_len=3))
+    assert no_table.kmer_len == 0 and no_table.kmer_table.shape == (1, 2)
+    text = records[0][1]
+    for q in [text[5:25], text[100:103], b"ZZZZ"]:
+        assert he.count(no_table, q) == he.count(with_table, q)
+        assert he.locate(no_table, q) == he.locate(with_table, q)

@@ -145,3 +145,41 @@ def test_artifact_round_trips_marks(rng, tmp_path):
     np.testing.assert_array_equal(loaded.mark_bits, index.mark_bits)
     np.testing.assert_array_equal(loaded.mark_milestones, index.mark_milestones)
     np.testing.assert_array_equal(loaded.text_sampled_sa, index.text_sampled_sa)
+
+
+def test_awry_golden_bytes():
+    """Pin the .awry byte layout against hand-computed values so format
+    drift is caught (magic at 0, header u64s, block payload sizes:
+    src/fm_index_file.rs:18,165-181,56-83)."""
+    import struct
+
+    from awry_tpu import FmBuildArgs, build_from_records
+
+    index = build_from_records(
+        [("tiny", b"ACGTACGTAC")],
+        FmBuildArgs(lookup_table_kmer_len=1, suffix_array_compression_ratio=2),
+    )
+    import io as _io
+
+    buf = _io.BytesIO()
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "g.awry")
+        save_awry(index, p)
+        data = open(p, "rb").read()
+
+    assert data[:11] == b"AWRY-Index\n"
+    version, ratio, bwt_len, alpha = struct.unpack_from("<4Q", data, 11)
+    assert (version, ratio, bwt_len, alpha) == (1, 2, 11, 0)
+    # one nucleotide block: 3 x 32 B vectors + 8 u64 milestones = 160 B
+    block_end = 11 + 32 + 160
+    # prefix sums: 7 u64 ending in bwt_len
+    prefix = struct.unpack_from("<7Q", data, block_end)
+    assert prefix[0] == 0 and prefix[-1] == 11
+    # milestones of block 0 are all zero (counts before the first block)
+    milestones = struct.unpack_from("<8Q", data, 11 + 32 + 96)
+    assert milestones == (0,) * 8
+    # packed SA section: ceil(ceil(11/2)*4 / 64) = 1 word (4 bits/element)
+    (kmer_len_byte,) = struct.unpack_from("<B", data, block_end + 56 + 8)
+    assert kmer_len_byte == 1
