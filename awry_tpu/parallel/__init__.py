@@ -1,4 +1,5 @@
 from .mesh import DATA_AXIS, SHARD_AXIS, make_mesh
+from .partitioned import PartitionedFmIndex
 from .sharding import ShardedFmEngine
 
-__all__ = ["make_mesh", "ShardedFmEngine", "DATA_AXIS", "SHARD_AXIS"]
+__all__ = ["make_mesh", "ShardedFmEngine", "PartitionedFmIndex", "DATA_AXIS", "SHARD_AXIS"]

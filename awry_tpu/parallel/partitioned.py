@@ -1,0 +1,165 @@
+"""Partitioned FM-index federation: exact count/locate over texts beyond one
+index's 32-bit position space (pan-genome / metagenome scale, BASELINE.json
+config #5).
+
+The device kernels address positions as uint32 (< 4 Gbp per index).  Larger
+corpora are split at record boundaries into partitions, each its own
+full FM-index (buildable/servable on its own host+chips).  Exactness across
+partition boundaries is preserved with the overlap-tail construction:
+
+* the conceptual GLOBAL text is all records joined by the delimiter, exactly
+  as one monolithic index would store them;
+* partition p indexes global_text[s_p : s_{p+1} + overlap) where overlap =
+  max_query_len - 1, so any match short enough to be queryable that starts
+  inside p's owned range is fully contained in p's text;
+* a match is OWNED by p iff its start lies in [s_p, s_{p+1}).  For counts,
+  instead of locating every hit, each partition also carries a tiny index
+  over just its overlap tail: matches starting in the tail are exactly the
+  matches of the query in that tail text, so
+      owned_count(p) = count_p(q) - tail_count_p(q).
+  (A match starting in the tail that would run past p's text end is not
+  counted by either term - and it is counted by p+1, which owns it.)
+* locate drops hits with local start >= owned_len and maps the rest to
+  global positions / records.
+
+Queries longer than max_query_len raise (the reference's own max_query_len
+build knob has the same contract, src/fm_index.rs:90-92).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from .. import host_engine as he
+from ..alphabet import Alphabet, normalize_text
+from ..index import FmBuildArgs, FmIndexData
+
+
+@dataclasses.dataclass
+class _Partition:
+    index: FmIndexData
+    tail_index: FmIndexData | None  # index over the overlap tail (None for last)
+    global_start: int  # global text offset of this partition's owned range
+    owned_len: int  # length of the owned range (excludes the overlap tail)
+    engine: object | None = None  # lazily created device engine
+
+
+class PartitionedFmIndex:
+    """Federation of per-partition FM-indexes with exact global semantics."""
+
+    def __init__(self, partitions, seq_starts, headers, alphabet, max_query_len):
+        self.partitions: list[_Partition] = partitions
+        self.seq_starts = seq_starts  # global record starts, int64
+        self.headers = headers
+        self.alphabet = alphabet
+        self.max_query_len = max_query_len
+
+    # -- construction ------------------------------------------------------
+    @classmethod
+    def build_from_records(
+        cls,
+        records: list[tuple[str, bytes]],
+        args: FmBuildArgs,
+        *,
+        max_partition_symbols: int,
+        max_query_len: int,
+    ):
+        """Split records into <= max_partition_symbols partitions and build
+        each with the given FmBuildArgs (alphabet/ratio/kmer knobs apply to
+        every partition)."""
+        from ..build.builder import build_from_records
+
+        if max_query_len < 1:
+            raise ValueError("max_query_len must be >= 1")
+        alphabet = args.alphabet
+        delim = alphabet.delimiter
+
+        # Global layout (identical to a monolithic build).
+        headers = [h for h, _ in records]
+        seqs = [normalize_text(alphabet, s).tobytes() for _, s in records]
+        seq_starts = np.zeros(len(records), dtype=np.int64)
+        off = 0
+        for i, s in enumerate(seqs):
+            if i > 0:
+                off += 1
+            seq_starts[i] = off
+            off += len(s)
+        global_text = delim.join(seqs)
+
+        # Greedy record packing into partitions.
+        groups: list[list[int]] = []
+        cur: list[int] = []
+        cur_len = 0
+        for i, s in enumerate(seqs):
+            add = len(s) + (1 if cur else 0)
+            if cur and cur_len + add > max_partition_symbols:
+                groups.append(cur)
+                cur, cur_len = [], 0
+                add = len(s)
+            cur.append(i)
+            cur_len += add
+        if cur:
+            groups.append(cur)
+
+        overlap = max_query_len - 1
+        partitions: list[_Partition] = []
+        for gi, group in enumerate(groups):
+            g_start = int(seq_starts[group[0]])
+            g_end = (
+                int(seq_starts[groups[gi + 1][0]]) if gi + 1 < len(groups) else len(global_text)
+            )
+            owned_len = g_end - g_start
+            text = global_text[g_start : min(g_end + overlap, len(global_text))]
+            index = build_from_records([(f"partition_{gi}", text)], args)
+            tail_text = text[owned_len:]
+            tail_index = (
+                build_from_records([(f"tail_{gi}", tail_text)], args) if tail_text else None
+            )
+            partitions.append(
+                _Partition(index=index, tail_index=tail_index, global_start=g_start, owned_len=owned_len)
+            )
+        return cls(partitions, seq_starts, headers, alphabet, max_query_len)
+
+    # -- queries -----------------------------------------------------------
+    def _check(self, queries):
+        qbytes = [q.encode() if isinstance(q, str) else bytes(q) for q in queries]
+        for q in qbytes:
+            if len(q) > self.max_query_len:
+                raise ValueError(
+                    f"query length {len(q)} exceeds max_query_len={self.max_query_len}"
+                )
+        return qbytes
+
+    def count_batch(self, queries) -> np.ndarray:
+        """Exact global counts: sum over partitions of (count - tail count)."""
+        qbytes = self._check(queries)
+        totals = np.zeros(len(qbytes), dtype=np.int64)
+        for part in self.partitions:
+            totals += he.count_batch(part.index, qbytes).astype(np.int64)
+            if part.tail_index is not None:
+                totals -= he.count_batch(part.tail_index, qbytes).astype(np.int64)
+        return totals.astype(np.uint64)
+
+    def locate_batch(self, queries) -> list[list[tuple[int, int]]]:
+        """Exact global locate: per-partition hits with starts in the owned
+        range, mapped to (record_idx, local_position)."""
+        qbytes = self._check(queries)
+        results: list[list[tuple[int, int]]] = [[] for _ in qbytes]
+        for part in self.partitions:
+            hits = he.locate_batch(part.index, qbytes)
+            for qi, hlist in enumerate(hits):
+                for _, local in hlist:
+                    if local >= part.owned_len:
+                        continue  # owned by the next partition
+                    gpos = part.global_start + local
+                    rec = int(np.searchsorted(self.seq_starts, gpos, side="right")) - 1
+                    results[qi].append((rec, gpos - int(self.seq_starts[rec])))
+        return results
+
+    def count(self, query) -> int:
+        return int(self.count_batch([query])[0])
+
+    def locate(self, query) -> list[tuple[int, int]]:
+        return self.locate_batch([query])[0]

@@ -1,0 +1,74 @@
+"""PartitionedFmIndex must be indistinguishable from a monolithic index,
+including matches that span record delimiters and partition boundaries."""
+
+import numpy as np
+import pytest
+
+import awry_tpu.host_engine as he
+from awry_tpu import Alphabet, FmBuildArgs, build_from_records
+from awry_tpu.parallel.partitioned import PartitionedFmIndex
+
+from .conftest import random_seq
+
+
+def _records(rng, n=10, lo=20, hi=120):
+    return [
+        (f"r{i}", random_seq(Alphabet.NUCLEOTIDE, rng, int(rng.integers(lo, hi))))
+        for i in range(n)
+    ]
+
+
+@pytest.mark.parametrize("max_partition_symbols", [150, 300, 10_000])
+def test_partitioned_matches_monolithic(max_partition_symbols, rng):
+    records = _records(rng)
+    args = FmBuildArgs(lookup_table_kmer_len=2)
+    mono = build_from_records(records, args)
+    part = PartitionedFmIndex.build_from_records(
+        records, args, max_partition_symbols=max_partition_symbols, max_query_len=24
+    )
+    if max_partition_symbols < 10_000:
+        assert len(part.partitions) > 1
+
+    text = b"N".join(seq for _, seq in records)
+    queries = []
+    # substrings, including ones straddling record delimiters (and therefore
+    # potentially partition boundaries)
+    for _ in range(60):
+        ln = int(rng.integers(1, 24))
+        s = int(rng.integers(0, len(text) - ln))
+        queries.append(text[s : s + ln])
+    # every delimiter crossing explicitly
+    for i in range(len(records) - 1):
+        d = int(part.seq_starts[i + 1]) - 1  # delimiter position
+        queries.append(text[max(0, d - 8) : d + 9])
+    queries += [b"N", b"ACGT", b""]
+
+    np.testing.assert_array_equal(
+        part.count_batch(queries).astype(np.int64),
+        np.array([he.count(mono, q) for q in queries]),
+    )
+    part_locs = part.locate_batch(queries)
+    for q, got in zip(queries, part_locs):
+        assert sorted(got) == sorted(he.locate(mono, q)), q
+
+
+def test_partitioned_rejects_overlong_queries(rng):
+    records = _records(rng, n=3)
+    part = PartitionedFmIndex.build_from_records(
+        records, FmBuildArgs(lookup_table_kmer_len=2),
+        max_partition_symbols=100, max_query_len=10,
+    )
+    with pytest.raises(ValueError, match="max_query_len"):
+        part.count_batch([b"A" * 11])
+
+
+def test_partitioned_single_partition_degenerate(rng):
+    records = _records(rng, n=2, lo=10, hi=20)
+    part = PartitionedFmIndex.build_from_records(
+        records, FmBuildArgs(lookup_table_kmer_len=2),
+        max_partition_symbols=10_000, max_query_len=8,
+    )
+    assert len(part.partitions) == 1 and part.partitions[0].tail_index is None
+    mono = build_from_records(records, FmBuildArgs(lookup_table_kmer_len=2))
+    for q in [records[0][1][:5], b"NN", b"ACG"]:
+        assert part.count(q) == he.count(mono, q)
