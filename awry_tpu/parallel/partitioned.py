@@ -132,23 +132,50 @@ class PartitionedFmIndex:
                 )
         return qbytes
 
-    def count_batch(self, queries) -> np.ndarray:
+    def _part_engine(self, part: _Partition):
+        """Lazily attach a device engine per partition (deployments place
+        each partition on its own host/chips; here they share the device)."""
+        if part.engine is None:
+            try:
+                from ..ops.engine import FmQueryEngine
+
+                part.engine = FmQueryEngine(part.index)
+            except Exception:
+                part.engine = False
+        return part.engine
+
+    def _count_one(self, index, qbytes, engine=None):
+        if engine:
+            return engine.count_batch(qbytes).astype(np.int64)
+        return he.count_batch(index, qbytes).astype(np.int64)
+
+    def count_batch(self, queries, *, use_device: bool = True) -> np.ndarray:
         """Exact global counts: sum over partitions of (count - tail count)."""
         qbytes = self._check(queries)
         totals = np.zeros(len(qbytes), dtype=np.int64)
         for part in self.partitions:
-            totals += he.count_batch(part.index, qbytes).astype(np.int64)
+            engine = self._part_engine(part) if use_device else None
+            totals += self._count_one(part.index, qbytes, engine)
             if part.tail_index is not None:
-                totals -= he.count_batch(part.tail_index, qbytes).astype(np.int64)
+                # Tail texts are <= max_query_len symbols; host counting is
+                # cheaper than shipping a micro-index to the device.
+                totals -= self._count_one(part.tail_index, qbytes)
         return totals.astype(np.uint64)
 
-    def locate_batch(self, queries) -> list[list[tuple[int, int]]]:
+    def locate_batch(self, queries, *, use_device: bool = True) -> list[list[tuple[int, int]]]:
         """Exact global locate: per-partition hits with starts in the owned
         range, mapped to (record_idx, local_position)."""
         qbytes = self._check(queries)
         results: list[list[tuple[int, int]]] = [[] for _ in qbytes]
         for part in self.partitions:
-            hits = he.locate_batch(part.index, qbytes)
+            engine = self._part_engine(part) if use_device else None
+            if engine:
+                hits = [
+                    [(0, int(p)) for _, p in per_query]
+                    for per_query in engine.locate_batch(qbytes)
+                ]
+            else:
+                hits = he.locate_batch(part.index, qbytes)
             for qi, hlist in enumerate(hits):
                 for _, local in hlist:
                     if local >= part.owned_len:

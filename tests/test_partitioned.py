@@ -72,3 +72,22 @@ def test_partitioned_single_partition_degenerate(rng):
     mono = build_from_records(records, FmBuildArgs(lookup_table_kmer_len=2))
     for q in [records[0][1][:5], b"NN", b"ACG"]:
         assert part.count(q) == he.count(mono, q)
+
+
+def test_partitioned_device_engines(rng):
+    """use_device=True routes per-partition queries through FmQueryEngine."""
+    records = _records(rng, n=6, lo=30, hi=80)
+    args = FmBuildArgs(lookup_table_kmer_len=2)
+    mono = build_from_records(records, args)
+    part = PartitionedFmIndex.build_from_records(
+        records, args, max_partition_symbols=150, max_query_len=16
+    )
+    text = b"N".join(s for _, s in records)
+    queries = [text[s : s + 12] for s in rng.integers(0, len(text) - 12, size=20)]
+    np.testing.assert_array_equal(
+        part.count_batch(queries, use_device=True).astype(np.int64),
+        np.array([he.count(mono, q) for q in queries]),
+    )
+    for q, got in zip(queries, part.locate_batch(queries, use_device=True)):
+        assert sorted(got) == sorted(he.locate(mono, q)), q
+    assert all(p.engine for p in part.partitions)  # engines actually built
