@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..alphabet import encode_ascii
+from ..alphabet import encode_ascii, index_to_ascii_table
 from ..index import FmIndexData
 from .device_index import FmDeviceIndex, to_device
 from .locate import lf_walk
@@ -181,6 +181,24 @@ class FmQueryEngine:
                      local[offsets[i] : offsets[i + 1]].tolist()))
             for i in range(len(queries))
         ]
+
+    def warmup(self, *, batch_sizes=(16,), query_lens=(8,), cap: int = 8) -> None:
+        """Pre-compile the fused count+locate program for the padded-shape
+        buckets the given batch sizes / query lengths fall into.  Serving
+        systems call this at startup: each new (B, L) bucket otherwise pays
+        a jit compile on first use (tens of seconds on TPU)."""
+        alphabet = self.device_index.alphabet
+        letter = chr(index_to_ascii_table(alphabet)[alphabet.ambiguity_idx])
+        for b in batch_sizes:
+            for l in query_lens:
+                queries = [letter * max(1, l)] * max(1, min(b, 4))
+                qsyms, qlens = encode_query_batch(alphabet, queries, min_batch=b)
+                if self._wire_packed:
+                    qsyms = (qsyms[:, 0::2] | (qsyms[:, 1::2] << 4)).astype(np.uint8)
+                out = self._count_locate_fn(
+                    self.device_index, jnp.asarray(qsyms), jnp.asarray(qlens), cap=cap
+                )
+                jax.block_until_ready(out)
 
     def count(self, query) -> int:
         """count_string analog."""

@@ -29,9 +29,23 @@ def _seed_level(index: FmDeviceIndex, syms: jax.Array):
     return seed_range(index, syms)
 
 
-@jax.jit
-def _extend_level(index: FmDeviceIndex, starts: jax.Array, ends: jax.Array, syms: jax.Array):
-    return update_range(index, starts, ends, syms)
+# Largest number of range updates materialized at once: each update gathers a
+# fused row per endpoint, and XLA's (8,128)-tiled gather intermediate pads
+# ~3x, so 2M updates ~= 2.7 GB of HBM temp - deep tables (k=13 is 67M
+# entries) must be built in chunks.
+_LEVEL_CHUNK = 1 << 21
+
+
+def _extend_chunk_fn(size: int, base: int):
+    @jax.jit
+    def fn(index: FmDeviceIndex, prev_starts, prev_ends, syms, off):
+        n = min(_LEVEL_CHUNK, size * base)
+        idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0] + off
+        d = idx // np.int32(size)
+        old = idx % np.int32(size)
+        return update_range(index, prev_starts[old], prev_ends[old], syms[d])
+
+    return fn
 
 
 def populate_kmer_table_device(index: FmDeviceIndex, kmer_len: int | None = None) -> np.ndarray:
@@ -52,11 +66,24 @@ def populate_kmer_table_device(index: FmDeviceIndex, kmer_len: int | None = None
     level = 1
     while level < k:
         size = base**level
+        new_size = size * base
         # Prepend symbol d (dense rank): new_addr = d * base**level + old_addr.
-        rep_syms = jnp.repeat(syms, size)
-        tile_starts = jnp.tile(starts, base)
-        tile_ends = jnp.tile(ends, base)
-        starts, ends = _extend_level(index, tile_starts, tile_ends, rep_syms)
+        if new_size <= _LEVEL_CHUNK:
+            rep_syms = jnp.repeat(syms, size)
+            tile_starts = jnp.tile(starts, base)
+            tile_ends = jnp.tile(ends, base)
+            starts, ends = jax.jit(update_range)(index, tile_starts, tile_ends, rep_syms)
+        else:
+            fn = _extend_chunk_fn(size, base)
+            out_s, out_e = [], []
+            for off in range(0, new_size, _LEVEL_CHUNK):
+                cs, ce = fn(index, starts, ends, syms, np.int32(off))
+                out_s.append(cs)
+                out_e.append(ce)
+            # The final chunk may run past new_size (lanes compute with
+            # clamped symbol indices and are discarded here).
+            starts = jnp.concatenate(out_s)[:new_size]
+            ends = jnp.concatenate(out_e)[:new_size]
         level += 1
 
     starts = np.asarray(starts).astype(np.int64)

@@ -141,3 +141,12 @@ def test_device_engine_from_awry_import(rng, tmp_path):
     )
     for a, b in zip(imported.locate_batch(queries), native.locate_batch(queries)):
         assert sorted(a) == sorted(b)
+
+
+def test_engine_warmup(rng):
+    index, records = _build(Alphabet.NUCLEOTIDE, rng, n=300)
+    engine = FmQueryEngine(index)
+    engine.warmup(batch_sizes=(16, 64), query_lens=(8, 16))
+    # Warmed buckets serve immediately and correctly.
+    q = records[0][1][20:34]
+    assert engine.count(q) == he.count(index, q)
