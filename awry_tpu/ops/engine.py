@@ -183,22 +183,23 @@ class FmQueryEngine:
         ]
 
     def warmup(self, *, batch_sizes=(16,), query_lens=(8,), cap: int = 8) -> None:
-        """Pre-compile the fused count+locate program for the padded-shape
-        buckets the given batch sizes / query lengths fall into.  Serving
-        systems call this at startup: each new (B, L) bucket otherwise pays
-        a jit compile on first use (tens of seconds on TPU)."""
+        """Pre-compile the count and fused count+locate programs for the
+        padded-shape buckets that real batches of the given sizes/lengths
+        will land in.  Serving systems call this at startup: each new (B, L)
+        bucket otherwise pays a jit compile on first use (tens of seconds on
+        TPU).  Dummy batches go through encode_queries itself, so the warmed
+        shapes and wire format are exactly the serving ones."""
         alphabet = self.device_index.alphabet
         letter = chr(index_to_ascii_table(alphabet)[alphabet.ambiguity_idx])
         for b in batch_sizes:
             for l in query_lens:
-                queries = [letter * max(1, l)] * max(1, min(b, 4))
-                qsyms, qlens = encode_query_batch(alphabet, queries, min_batch=b)
-                if self._wire_packed:
-                    qsyms = (qsyms[:, 0::2] | (qsyms[:, 1::2] << 4)).astype(np.uint8)
-                out = self._count_locate_fn(
-                    self.device_index, jnp.asarray(qsyms), jnp.asarray(qlens), cap=cap
-                )
-                jax.block_until_ready(out)
+                queries = [letter * max(1, l)] * max(1, b)
+                qsyms, qlens = self.encode_queries(queries)
+                outs = [
+                    self._count_locate_fn(self.device_index, qsyms, qlens, cap=cap),
+                    self._count_fn(self.device_index, qsyms, qlens),
+                ]
+                jax.block_until_ready(outs)
 
     def count(self, query) -> int:
         """count_string analog."""

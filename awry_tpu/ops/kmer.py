@@ -36,6 +36,9 @@ def _seed_level(index: FmDeviceIndex, syms: jax.Array):
 _LEVEL_CHUNK = 1 << 21
 
 
+_extend_small = jax.jit(update_range)  # module-level: trace cache survives across builds
+
+
 def _extend_chunk_fn(size: int, base: int):
     @jax.jit
     def fn(index: FmDeviceIndex, prev_starts, prev_ends, syms, off):
@@ -72,7 +75,7 @@ def populate_kmer_table_device(index: FmDeviceIndex, kmer_len: int | None = None
             rep_syms = jnp.repeat(syms, size)
             tile_starts = jnp.tile(starts, base)
             tile_ends = jnp.tile(ends, base)
-            starts, ends = jax.jit(update_range)(index, tile_starts, tile_ends, rep_syms)
+            starts, ends = _extend_small(index, tile_starts, tile_ends, rep_syms)
         else:
             fn = _extend_chunk_fn(size, base)
             out_s, out_e = [], []

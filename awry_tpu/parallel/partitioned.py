@@ -73,8 +73,21 @@ class PartitionedFmIndex:
 
         if max_query_len < 1:
             raise ValueError("max_query_len must be >= 1")
+        if not records:
+            raise ValueError("input contains no sequence records")
         alphabet = args.alphabet
         delim = alphabet.delimiter
+        # Per-partition builds must not share the caller's SA-cache path
+        # (equal-length partition texts would reuse each other's cached SA);
+        # tail indexes additionally skip the k-mer machinery - tails are
+        # shorter than any permissible query's seed.
+        part_args = dataclasses.replace(args, suffix_array_output_src=None)
+        tail_args = dataclasses.replace(
+            args,
+            suffix_array_output_src=None,
+            lookup_table_kmer_len=0,
+            build_kmer_table_on_device=False,
+        )
 
         # Global layout (identical to a monolithic build).
         headers = [h for h, _ in records]
@@ -103,6 +116,8 @@ class PartitionedFmIndex:
         if cur:
             groups.append(cur)
 
+        del seqs  # global_text supersedes it; drop one corpus-sized copy
+
         overlap = max_query_len - 1
         partitions: list[_Partition] = []
         for gi, group in enumerate(groups):
@@ -112,10 +127,16 @@ class PartitionedFmIndex:
             )
             owned_len = g_end - g_start
             text = global_text[g_start : min(g_end + overlap, len(global_text))]
-            index = build_from_records([(f"partition_{gi}", text)], args)
+            if len(text) + 1 >= 2**32:
+                raise ValueError(
+                    f"partition {gi} is {len(text)} symbols - beyond the uint32 "
+                    "position space; lower max_partition_symbols (a single "
+                    "record larger than the cap forms its own partition)"
+                )
+            index = build_from_records([(f"partition_{gi}", text)], part_args)
             tail_text = text[owned_len:]
             tail_index = (
-                build_from_records([(f"tail_{gi}", tail_text)], args) if tail_text else None
+                build_from_records([(f"tail_{gi}", tail_text)], tail_args) if tail_text else None
             )
             partitions.append(
                 _Partition(index=index, tail_index=tail_index, global_start=g_start, owned_len=owned_len)
@@ -140,7 +161,14 @@ class PartitionedFmIndex:
                 from ..ops.engine import FmQueryEngine
 
                 part.engine = FmQueryEngine(part.index)
-            except Exception:
+            except Exception as e:
+                import sys
+
+                print(
+                    f"warning: device engine unavailable for partition at "
+                    f"global offset {part.global_start} ({e!r}); using host engine",
+                    file=sys.stderr,
+                )
                 part.engine = False
         return part.engine
 

@@ -91,3 +91,26 @@ def test_partitioned_device_engines(rng):
     for q, got in zip(queries, part.locate_batch(queries, use_device=True)):
         assert sorted(got) == sorted(he.locate(mono, q)), q
     assert all(p.engine for p in part.partitions)  # engines actually built
+
+
+def test_partitioned_build_hygiene(rng, tmp_path):
+    """Empty input raises; a shared SA-cache path is NOT reused across
+    equal-length partitions; tails skip the k-mer machinery."""
+    with pytest.raises(ValueError, match="no sequence records"):
+        PartitionedFmIndex.build_from_records(
+            [], FmBuildArgs(), max_partition_symbols=100, max_query_len=4
+        )
+    records = [("a", b"ACGT" * 25), ("b", b"TTGA" * 25)]  # equal lengths
+    sa_path = str(tmp_path / "sa.npy")
+    args = FmBuildArgs(lookup_table_kmer_len=2, suffix_array_output_src=sa_path)
+    part = PartitionedFmIndex.build_from_records(
+        records, args, max_partition_symbols=100, max_query_len=12
+    )
+    assert len(part.partitions) == 2
+    for p in part.partitions:
+        if p.tail_index is not None:
+            assert p.tail_index.kmer_len == 0  # tails skip the table
+    mono = build_from_records(records, FmBuildArgs(lookup_table_kmer_len=2))
+    text = b"N".join(s for _, s in records)
+    for q in [text[95:105], b"ACGT", b"TTGA"]:
+        assert part.count(q) == he.count(mono, q), q
