@@ -10,6 +10,7 @@ vectorized host engine.
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 import numpy as np
@@ -87,6 +88,15 @@ def compute_milestones(bwt_syms: np.ndarray, alphabet: Alphabet) -> tuple[np.nda
     return milestones, prefix_sums
 
 
+def _sa_cache_digest(sa_path: str) -> str | None:
+    """Text fingerprint recorded next to a cached suffix array, if any."""
+    try:
+        with open(sa_path + ".sha256") as f:
+            return f.read().strip()
+    except OSError:
+        return None
+
+
 def build_from_sequence_data(seq_data: SequenceData, args: FmBuildArgs) -> FmIndexData:
     """Assemble the full FM-index from canonical concatenated text."""
     alphabet = args.alphabet
@@ -94,14 +104,19 @@ def build_from_sequence_data(seq_data: SequenceData, args: FmBuildArgs) -> FmInd
     # .sufr round trip (src/fm_index.rs:170-181, :263-265).
     sa = None
     sa_path = args.suffix_array_output_src
+    text_digest = hashlib.sha256(seq_data.text.tobytes()).hexdigest()
     if sa_path and os.path.exists(sa_path):
         cached = np.load(sa_path)
-        if cached.shape[0] == seq_data.text.shape[0] + 1:
+        # A same-length SA from a different text would silently corrupt the
+        # index; reuse only when the sidecar fingerprint matches this text.
+        if cached.shape[0] == seq_data.text.shape[0] + 1 and _sa_cache_digest(sa_path) == text_digest:
             sa = cached
     if sa is None:
         sa = build_suffix_array(seq_data.text)
         if sa_path:
             np.save(sa_path, sa)
+            with open(sa_path + ".sha256", "w") as f:
+                f.write(text_digest)
     bwt_len = sa.shape[0]  # text_len + 1 (src/fm_index.rs:50,182)
     text_syms = encode_ascii(alphabet, seq_data.text)  # uint8
     bwt_syms = bwt_symbols_from_sa(text_syms, sa)
@@ -150,6 +165,8 @@ def build_from_sequence_data(seq_data: SequenceData, args: FmBuildArgs) -> FmInd
     index.validate()
     if sa_path and args.remove_intermediate_suffix_array_file and os.path.exists(sa_path):
         os.remove(sa_path)
+        if os.path.exists(sa_path + ".sha256"):
+            os.remove(sa_path + ".sha256")
     return index
 
 

@@ -26,6 +26,15 @@ from .index import FmIndexData
 
 _FULL = np.uint32(0xFFFFFFFF)
 
+if hasattr(np, "bitwise_count"):  # NumPy >= 2.0
+    _popcount_u32 = np.bitwise_count
+else:  # byte-LUT fallback so the correctness anchor works on NumPy 1.x
+    _POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+    def _popcount_u32(a: np.ndarray) -> np.ndarray:
+        b = np.ascontiguousarray(a).view(np.uint8)
+        return _POP8[b].reshape(a.shape + (4,)).sum(axis=-1, dtype=np.uint32)
+
 
 def occurrence(index: FmIndexData, pos, sym) -> np.ndarray:
     """Vectorized Occ(pos, sym): number of `sym` in BWT[0..=pos] (inclusive).
@@ -59,7 +68,7 @@ def occurrence(index: FmIndexData, pos, sym) -> np.ndarray:
     in_word_mask = (_FULL >> (np.uint32(31) - (local & 31))).astype(np.uint32)[..., None]
     mask = np.where(lane < word, _FULL, np.where(lane == word, in_word_mask, np.uint32(0)))
 
-    pop = np.bitwise_count(occv & mask).astype(np.uint64).sum(axis=-1)
+    pop = _popcount_u32(occv & mask).astype(np.uint64).sum(axis=-1)
     return index.milestones[block, sym] + pop
 
 
@@ -140,6 +149,12 @@ def search_range_for_symbols(index: FmIndexData, syms: np.ndarray) -> tuple[int,
     (src/fm_index.rs:402-438), with the k-mer table supplying the seed range
     when applicable."""
     if len(syms) == 0:
+        return 1, 0
+    if (syms == 0).any():
+        # Sentinel symbols ('$'/'#') are not searchable; the reference's
+        # occurrence formulas exclude the sentinel and searching it is UB
+        # (src/bwt.rs:128-129,261-265) - return the canonical empty range
+        # (PARITY.md divergence #7).
         return 1, 0
     k = index.kmer_len
     start_step: int

@@ -46,6 +46,17 @@ def save_awry(index: FmIndexData, path: str) -> None:
     nv = alphabet.num_planes
     slots = _MILESTONE_SLOTS[alphabet]
     nb = index.num_blocks
+    if index.kmer_len == 0:
+        # The reference can never produce kmer_len=0 (its save debug_asserts
+        # kmer_len != 0) and its loader mis-reads such files: get_range_for_kmer
+        # computes take((0u8 - 1) as usize), a u8 underflow that double-processes
+        # the query (src/kmer_lookup_table.rs:90-110).  Refuse to write a file
+        # AWRY would silently mis-search.
+        raise ValueError(
+            "cannot save a kmer_len=0 index to .awry: the reference loader"
+            " mis-searches such files; rebuild with kmer_len >= 1 or use the"
+            " .npz artifact format"
+        )
 
     with open(path, "wb") as f:
         f.write(MAGIC)

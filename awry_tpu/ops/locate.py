@@ -33,6 +33,21 @@ from .rank import backstep, backstep_from_rows_t, fetch_rows_t, select_rows
 _FULL = 0xFFFFFFFF
 
 
+def _text_pos_mod(sa_vals: jax.Array, steps: jax.Array, bwt_len: int) -> jax.Array:
+    """(sa_vals + steps) % bwt_len in uint32 WITHOUT 2**32 wraparound bugs.
+
+    Both operands are < bwt_len (walk length < bwt_len; SA values < bwt_len),
+    so the true sum is < 2*bwt_len and the modulo is a single conditional
+    subtraction - but for bwt_len near 2**32 the uint32 sum itself can wrap.
+    When it wraps, true_sum = r + 2**32 >= bwt_len, and r - bwt_len in uint32
+    equals true_sum - bwt_len exactly; so one wrap-aware select is exact.
+    """
+    bl = jnp.uint32(bwt_len)
+    r = sa_vals + steps
+    wrapped = r < sa_vals
+    return jnp.where(wrapped | (r >= bl), r - bl, r)
+
+
 def _mark_bit_t(index: FmDeviceIndex, rows_t: jax.Array, pos: jax.Array) -> jax.Array:
     """1 where the row's SA value is text-sampled (mark bits in the fused row)."""
     local = pos & jnp.uint32(255)
@@ -78,7 +93,7 @@ def _marked_walk(index: FmDeviceIndex, rows: jax.Array) -> jax.Array:
     final_rows_t = fetch_rows_t(index, walked)
     idx = _mark_rank_t(index, final_rows_t, walked).astype(jnp.int32)
     sa_vals = index.text_sampled_sa[idx]
-    return (sa_vals + steps) % jnp.uint32(index.bwt_len)
+    return _text_pos_mod(sa_vals, steps, index.bwt_len)
 
 
 def _row_sampled_walk(index: FmDeviceIndex, rows: jax.Array, backstep_fn) -> jax.Array:
@@ -104,7 +119,7 @@ def _row_sampled_walk(index: FmDeviceIndex, rows: jax.Array, backstep_fn) -> jax
     steps0 = jnp.zeros_like(rows)
     walked, steps = jax.lax.while_loop(cond, body, (rows, steps0))
     sa_vals = index.sampled_sa[(walked // r).astype(jnp.int32)]
-    return (sa_vals + steps) % jnp.uint32(index.bwt_len)
+    return _text_pos_mod(sa_vals, steps, index.bwt_len)
 
 
 def lf_walk(index: FmDeviceIndex, rows: jax.Array, *, backstep_fn=None) -> jax.Array:

@@ -107,10 +107,17 @@ def search_ranges(index: FmDeviceIndex, qsyms: jax.Array, qlens: jax.Array, *, u
         s0, e0 = jax.lax.fori_loop(1, L, body, (s0, e0))
 
     # Zero-length queries yield the canonical empty range (start=1, end=0,
-    # src/search.rs:51-56).
-    is_empty_query = qlens <= 0
-    starts = jnp.where(is_empty_query, jnp.uint32(1), s0)
-    ends = jnp.where(is_empty_query, jnp.uint32(0), e0)
+    # src/search.rs:51-56).  Queries containing the sentinel symbol do too:
+    # the reference's behavior there is UB (global_occurrence panics/OOBs on
+    # sentinel search, src/bwt.rs:128-129,261-265), so searching '$'/'#'
+    # returns "no matches" instead of silently computing garbage ranks
+    # (PARITY.md divergence #7).
+    col = jax.lax.broadcasted_iota(jnp.int32, (L, 1), 0)
+    in_query = col >= (jnp.int32(L) - qlens)[None, :]
+    has_sentinel = jnp.any((qt == 0) & in_query, axis=0)
+    invalid = (qlens <= 0) | has_sentinel
+    starts = jnp.where(invalid, jnp.uint32(1), s0)
+    ends = jnp.where(invalid, jnp.uint32(0), e0)
     return starts, ends
 
 

@@ -150,3 +150,31 @@ def test_engine_warmup(rng):
     # Warmed buckets serve immediately and correctly.
     q = records[0][1][20:34]
     assert engine.count(q) == he.count(index, q)
+
+
+def test_device_sentinel_in_query_returns_empty(rng):
+    """Device parity for PARITY.md divergence #7: sentinel symbols in a query
+    force the canonical empty range (no garbage ranks from starts-1 wrap)."""
+    index, records = _build(Alphabet.NUCLEOTIDE, rng, n=400)
+    engine = FmQueryEngine(index)
+    text = records[0][1]
+    queries = [b"$", text[:6] + b"$", b"#" + text[:6], text[:6]]
+    counts = engine.count_batch(queries)
+    assert counts[0] == 0 and counts[1] == 0 and counts[2] == 0
+    assert counts[3] >= 1
+    assert engine.locate_batch(queries)[:3] == [[], [], []]
+
+
+def test_text_pos_mod_wraparound():
+    """_text_pos_mod is exact for bwt_len near 2**32 where the raw uint32 sum
+    wraps (ADVICE round-1: locate walks within ~steps of the uint32 cap)."""
+    import jax.numpy as jnp
+
+    from awry_tpu.ops.locate import _text_pos_mod
+
+    bwt_len = 2**32 - 5
+    sa = np.array([bwt_len - 1, bwt_len - 1, 7, 0, bwt_len - 2], dtype=np.uint32)
+    steps = np.array([0, 300, 2, 0, bwt_len - 1], dtype=np.uint32)
+    expected = (sa.astype(np.uint64) + steps.astype(np.uint64)) % np.uint64(bwt_len)
+    got = _text_pos_mod(jnp.asarray(sa), jnp.asarray(steps), bwt_len)
+    np.testing.assert_array_equal(np.asarray(got).astype(np.uint64), expected)

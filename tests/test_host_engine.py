@@ -196,3 +196,16 @@ def test_kmer_table_disabled(rng):
     for q in [text[5:25], text[100:103], b"ZZZZ"]:
         assert he.count(no_table, q) == he.count(with_table, q)
         assert he.locate(no_table, q) == he.locate(with_table, q)
+
+
+def test_sentinel_in_query_returns_empty(rng):
+    """Queries containing '$'/'#' return the canonical empty range instead of
+    the reference's UB (sentinel-excluding rank, src/bwt.rs:128-129,261-265;
+    PARITY.md divergence #7)."""
+    index, records = _build(Alphabet.NUCLEOTIDE, rng, n=400)
+    text = records[0][1]
+    for q in (b"$", b"#", b"$" + text[:5], text[:5] + b"$", text[:3] + b"#" + text[3:6]):
+        assert he.count(index, q) == 0, q
+        assert he.locate(index, q) == [], q
+    # Sanity: the same query without the sentinel still matches.
+    assert he.count(index, text[:5]) >= 1

@@ -183,3 +183,37 @@ def test_awry_golden_bytes():
     # packed SA section: ceil(ceil(11/2)*4 / 64) = 1 word (4 bits/element)
     (kmer_len_byte,) = struct.unpack_from("<B", data, block_end + 56 + 8)
     assert kmer_len_byte == 1
+
+
+def test_save_awry_rejects_kmer_len_zero(rng, tmp_path):
+    """kmer_len=0 files would be mis-searched by the reference loader
+    (u8 underflow in get_range_for_kmer); refuse to write them."""
+    from awry_tpu import build_from_records
+
+    seq = random_seq(Alphabet.NUCLEOTIDE, rng, 200)
+    index = build_from_records([("s", seq)], FmBuildArgs(lookup_table_kmer_len=0))
+    with pytest.raises(ValueError, match="kmer_len"):
+        save_awry(index, str(tmp_path / "bad.awry"))
+
+
+def test_sa_cache_rejects_foreign_same_length_text(rng, tmp_path):
+    """A cached SA from a DIFFERENT same-length text must not be reused
+    (fingerprint sidecar, ADVICE round-1 medium finding)."""
+    from awry_tpu import build_from_records
+
+    seq_a = random_seq(Alphabet.NUCLEOTIDE, rng, 300)
+    seq_b = random_seq(Alphabet.NUCLEOTIDE, rng, 300)
+    assert seq_a != seq_b
+    sa_path = str(tmp_path / "sa.npy")
+    args = FmBuildArgs(suffix_array_output_src=sa_path, lookup_table_kmer_len=2)
+    build_from_records([("s", seq_a)], args)
+    idx_b = build_from_records([("s", seq_b)], args)  # same path, other text
+    import awry_tpu.host_engine as he
+
+    assert he.count(idx_b, seq_b[:20]) == 1  # correct index for text B
+    # And a cache missing its fingerprint sidecar is rebuilt, not trusted.
+    import os
+
+    os.remove(sa_path + ".sha256")
+    idx_b2 = build_from_records([("s", seq_b)], args)
+    np.testing.assert_array_equal(idx_b2.sampled_sa, idx_b.sampled_sa)
