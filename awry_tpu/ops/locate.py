@@ -157,4 +157,6 @@ def count_locate_capped(index: FmDeviceIndex, qsyms: jax.Array, qlens: jax.Array
     valid = offs[None, :] < jnp.minimum(counts, jnp.uint32(cap))[:, None]
     flat_rows = jnp.where(valid, rows, jnp.uint32(0)).reshape(-1)  # row 0 is sampled
     text_pos = lf_walk(index, flat_rows)
-    return counts, text_pos.reshape(b, cap)
+    # Ranges ride along so over-cap queries can expand rows host-side and go
+    # straight to lf_walk without a second range-search dispatch.
+    return counts, text_pos.reshape(b, cap), starts, ends

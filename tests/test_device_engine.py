@@ -178,3 +178,29 @@ def test_text_pos_mod_wraparound():
     expected = (sa.astype(np.uint64) + steps.astype(np.uint64)) % np.uint64(bwt_len)
     got = _text_pos_mod(jnp.asarray(sa), jnp.asarray(steps), bwt_len)
     np.testing.assert_array_equal(np.asarray(got).astype(np.uint64), expected)
+
+
+def test_count_locate_arrays_and_stream_parity(rng):
+    """The bulk flat-array API and the pipelined stream API agree with
+    count_locate_batch (including over-cap queries) on a low cap."""
+    index, records = _build(Alphabet.NUCLEOTIDE, rng, n=1500, kmer_len=3)
+    engine = FmQueryEngine(index)
+    text = records[0][1]
+    queries = [text[i : i + 4] for i in range(0, 60, 3)] + [text[10:40], b"A"]
+    counts, results = engine.count_locate_batch(queries, cap=2)
+    a_counts, seq_idx, local, offsets = engine.count_locate_arrays(queries, cap=2)
+    np.testing.assert_array_equal(a_counts, counts)
+    for i, r in enumerate(results):
+        got = list(zip(seq_idx[offsets[i] : offsets[i + 1]].tolist(),
+                       local[offsets[i] : offsets[i + 1]].tolist()))
+        assert got == r, i
+    # stream over two batches == arrays over each batch
+    batches = [queries[:7], queries[7:]]
+    streamed = list(engine.count_locate_stream(batches, cap=2))
+    assert len(streamed) == 2
+    for batch, (s_counts, s_seq, s_loc, s_off) in zip(batches, streamed):
+        b_counts, b_seq, b_loc, b_off = engine.count_locate_arrays(batch, cap=2)
+        np.testing.assert_array_equal(s_counts, b_counts)
+        np.testing.assert_array_equal(s_seq, b_seq)
+        np.testing.assert_array_equal(s_loc, b_loc)
+        np.testing.assert_array_equal(s_off, b_off)
