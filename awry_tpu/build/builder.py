@@ -37,8 +37,9 @@ def bwt_symbols_from_sa(text_syms: np.ndarray, sa: np.ndarray) -> np.ndarray:
     ext = np.empty(n + 1, dtype=np.uint8)
     ext[:-1] = text_syms
     ext[-1] = 0
-    idx = sa - 1
-    idx[idx < 0] = n
+    # Unsigned-safe prev-position: the single sa==0 row maps to index n (the
+    # appended sentinel).  Stays in the SA's own (possibly 4-byte) dtype.
+    idx = np.where(sa == 0, sa.dtype.type(n), sa - sa.dtype.type(1))
     return gather_u8(ext, idx)
 
 

@@ -1,0 +1,180 @@
+"""Part 4: chunk-centric sweep kernel prototype (lane-shuffle gather).
+
+micro_gather3 found Mosaic's tpu.dynamic_gather requires a single source
+vreg along the gather dimension -> gather along LANES (axis=1, 128 wide)
+is the supported shape.  Kernel design under test:
+
+  * blocks stored TRANSPOSED per 128-block tile: [NTt, 32 words, 128 rows]
+  * requests sorted by block id; processed in chunks of 128
+  * per chunk, two scalar-prefetch-indexed aligned windows of 8 tiles
+    (1024 blocks) cover the chunk's block span (sorted => span ~ 128 *
+    NB/B blocks); rows selected by 16x (lane-gather + select)
+  * out[c] = per-lane checksum (stand-in for the rank compute)
+
+Also: does lax.gather get faster with indices_are_sorted / unique_indices /
+PROMISE_IN_BOUNDS hints?
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/micro_gather4.py
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+W = 32
+TPW = 8  # tiles per window (window = 1024 blocks)
+
+
+def bench(label, fn, *args, iters=20, unit_count=None, unit="rows"):
+    try:
+        f = jax.jit(fn)
+        out = jax.block_until_ready(f(*args))
+        t0 = time.perf_counter()
+        out = f(*args)
+        s = float(np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0])
+        t1 = time.perf_counter()
+        dt = (t1 - t0) / iters
+        rate = (unit_count / dt) if unit_count else 0.0
+        print(f"{label:58s} {dt*1e3:9.3f} ms/iter   {rate/1e6:10.2f} M{unit}/s   (chk {s:.0f})")
+        return dt
+    except Exception as e:  # noqa: BLE001
+        print(f"{label:58s} FAILED: {type(e).__name__} {str(e)[:300]}")
+        return None
+
+
+def repeat_loop(body, iters):
+    def run(*args):
+        def step(_, acc):
+            return body(acc, *args)
+
+        return jax.lax.fori_loop(0, iters, step, jnp.uint32(1))
+
+    return run
+
+
+def make_sweep(ntt: int, nchunks: int, interpret: bool = False):
+    nwin = ntt // TPW
+
+    def kernel(cw_ref, blk_ref, winA_ref, winB_ref, out_ref):
+        base = cw_ref[pl.program_id(0)] * (TPW * 128)
+        blk = blk_ref[0]  # [128] block ids of this chunk (sorted)
+        local = blk - base  # in [0, 2*TPW*128) when covered
+        sub = local >> 7
+        lane = local & 127
+        lane_b = jnp.broadcast_to(lane[None, :], (W, 128))
+        rows_t = jnp.zeros((W, 128), dtype=jnp.uint32)
+        for s in range(2 * TPW):
+            src = winA_ref[s] if s < TPW else winB_ref[s - TPW]  # [W, 128]
+            g = jnp.take_along_axis(src, lane_b, axis=1)
+            rows_t = jnp.where((sub == s)[None, :], g, rows_t)
+        out_ref[0] = rows_t.sum(axis=0, dtype=jnp.uint32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nchunks,),
+        in_specs=[
+            pl.BlockSpec((1, 128), lambda c, cw: (c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TPW, W, 128), lambda c, cw: (jnp.minimum(cw[c], nwin - 1), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TPW, W, 128), lambda c, cw: (jnp.minimum(cw[c] + 1, nwin - 1), 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 128), lambda c, cw: (c, 0), memory_space=pltpu.VMEM),
+    )
+
+    def call(chunk_win, sorted_blk2d, blocks_sweep):
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((nchunks, 128), jnp.uint32),
+            interpret=interpret,
+        )(chunk_win, sorted_blk2d, blocks_sweep)
+
+    return call
+
+
+def main():
+    print("devices:", jax.devices())
+    rng = np.random.default_rng(0)
+    ITERS = 20
+
+    NB = 1_048_576  # blocks (128 MB)
+    NTT = NB // 128
+    B = 262_144
+    blocks = rng.integers(0, 2**32, size=(NB, W), dtype=np.uint64).astype(np.uint32)
+    # transposed-per-tile layout [NTt, W, 128]
+    blocks_sweep = jnp.asarray(np.ascontiguousarray(blocks.reshape(NTT, 128, W).transpose(0, 2, 1)))
+
+    sorted_blk = np.sort(rng.integers(0, NB, size=B).astype(np.int32))
+    nchunks = B // 128
+    chunk_win = (sorted_blk[::128] >> 7) // TPW
+    # coverage check (host): span within 2 windows?
+    first = chunk_win * (TPW * 128)
+    last_blk = sorted_blk.reshape(nchunks, 128)[:, -1]
+    covered = (last_blk - first < 2 * TPW * 128).mean()
+    print(f"chunk coverage at window={TPW*128} blocks: {covered*100:.2f}%")
+
+    sweep = make_sweep(NTT, nchunks)
+    cw_d = jnp.asarray(chunk_win.astype(np.int32))
+    sb_d = jnp.asarray(sorted_blk.reshape(nchunks, 128))
+
+    def run_sweep(acc, cw, sb):
+        out = sweep(cw, sb, blocks_sweep)
+        return out.sum(dtype=jnp.uint32) + (acc & jnp.uint32(1))
+
+    r = bench(f"pallas chunk-sweep ({nchunks} chunks, win={TPW*128})",
+              repeat_loop(run_sweep, ITERS), cw_d, sb_d, iters=ITERS, unit_count=B)
+    if r is not None:
+        out = np.asarray(jax.jit(sweep)(cw_d, sb_d, blocks_sweep))
+        exp = blocks[sorted_blk].sum(axis=1, dtype=np.uint32).reshape(nchunks, 128)
+        ok = np.array_equal(out, exp)
+        print("   correctness (covered rows):", ok)
+        if not ok:
+            bad = np.argwhere(out != exp)
+            print("   mismatches:", bad.shape[0], "first:", bad[:3].tolist())
+
+    # ---- lax.gather hint flags on the plain HBM row gather ----
+    blocks_d = jnp.asarray(blocks)
+    idx_sorted = jnp.asarray(sorted_blk)
+
+    def take_flags(acc, idxa, sorted_flag):
+        eff = (idxa + (acc & jnp.uint32(1)).astype(jnp.int32)) % NB
+        dn = jax.lax.GatherDimensionNumbers(
+            offset_dims=(1,), collapsed_slice_dims=(0,), start_index_map=(0,))
+        out = jax.lax.gather(
+            blocks_d, eff[:, None], dn, slice_sizes=(1, W),
+            indices_are_sorted=sorted_flag, unique_indices=False,
+            mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+        return out.sum(dtype=jnp.uint32) & jnp.uint32(0xFFFF)
+
+    bench("lax.gather sorted+inbounds hints", repeat_loop(
+        functools.partial(take_flags, sorted_flag=True), ITERS), idx_sorted,
+        iters=ITERS, unit_count=B)
+
+    # element gather with unique_indices (permutation apply)
+    table_e = jnp.asarray(rng.integers(0, 2**32, size=B, dtype=np.uint64).astype(np.uint32))
+    perm = jnp.asarray(rng.permutation(B).astype(np.int32))
+
+    def eg_flags(acc, p):
+        eff = (p + (acc & jnp.uint32(1)).astype(jnp.int32)) % B
+        dn = jax.lax.GatherDimensionNumbers(
+            offset_dims=(), collapsed_slice_dims=(0,), start_index_map=(0,))
+        out = jax.lax.gather(
+            table_e, eff[:, None], dn, slice_sizes=(1,),
+            indices_are_sorted=False, unique_indices=True,
+            mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+        return out.sum(dtype=jnp.uint32) & jnp.uint32(0xFFFF)
+
+    bench("element gather unique+inbounds hints", repeat_loop(eg_flags, ITERS), perm,
+          iters=ITERS, unit_count=B, unit="elems")
+
+
+if __name__ == "__main__":
+    main()

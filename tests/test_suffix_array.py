@@ -58,3 +58,31 @@ def test_large_random(rng):
     sa = build_suffix_array(text)
     fallback = build_suffix_array(text, force_fallback=True)
     np.testing.assert_array_equal(sa, fallback)
+
+
+def test_native_u32_variant_matches_i32(rng):
+    """The uint32 SA-IS instantiation (the GRCh38-scale path, sentinel-based
+    loops instead of sign-based) is exercised directly at small n against the
+    int32 result."""
+    import ctypes
+
+    from awry_tpu.build.suffix_array import _load_native
+
+    lib = _load_native()
+    if lib is None:
+        import pytest
+
+        pytest.skip("native library unavailable")
+    for ln in (1, 2, 5, 100, 1000):
+        text = bytes(rng.choice(np.frombuffer(b"ACGNT", dtype=np.uint8), size=ln))
+        buf = np.frombuffer(text + b"\x00", dtype=np.uint8)
+        n = buf.shape[0]
+        sa32 = np.empty(n, dtype=np.int32)
+        sau = np.empty(n, dtype=np.uint32)
+        assert lib.awry_sais_i32(
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), ctypes.c_int32(n),
+            sa32.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))) == 0
+        assert lib.awry_sais_u32(
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), ctypes.c_uint32(n),
+            sau.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32))) == 0
+        np.testing.assert_array_equal(sau.astype(np.int64), sa32.astype(np.int64))
