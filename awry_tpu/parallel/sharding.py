@@ -225,16 +225,67 @@ class ShardedFmEngine:
 
     # -- host-side encoding (bucketed padding, divisible by data axis) -----
     def _encode(self, queries):
-        from ..ops.engine import encode_query_batch
+        """Encode a query batch to device arrays.
 
-        qsyms, qlens = encode_query_batch(self.alphabet, queries, min_batch=self.data_size)
+        Multi-process runs (jax.process_count() > 1, see
+        parallel/distributed.py): every process passes the SAME global query
+        list; each encodes only its host-major slice with collectively-agreed
+        padded shapes and assembles the global data-sharded array.  Results
+        returned by count_batch/locate_batch then cover only this process's
+        slice (use process_local_queries to know which)."""
+        from ..ops.engine import _bucket, encode_query_batch
+
+        pc = jax.process_count()
+        if pc == 1:
+            qsyms, qlens = encode_query_batch(self.alphabet, queries, min_batch=self.data_size)
+            if self._wire_packed:
+                qsyms = (qsyms[:, 0::2] | (qsyms[:, 1::2] << 4)).astype(np.uint8)
+            return jnp.asarray(qsyms), jnp.asarray(qlens)
+
+        from .distributed import global_query_batch, process_local_queries
+
+        local = process_local_queries(queries, self.mesh)
+        per = -(-len(queries) // pc)
+        local = local + [b""] * (per - len(local))
+        # Padded shapes must agree across processes: derive them from the
+        # (identical) global list, not the local slice.
+        qbytes_len = [len(q.encode() if isinstance(q, str) else q) for q in queries]
+        global_l = _bucket(max(qbytes_len, default=1), minimum=8)
+        local_b = _bucket(per, minimum=max(1, self.data_size // pc))
+        qsyms, qlens = encode_query_batch(
+            self.alphabet, local, min_batch=local_b, min_len=global_l
+        )
+        qsyms = qsyms[:local_b]
+        qlens = qlens[:local_b]
         if self._wire_packed:
             qsyms = (qsyms[:, 0::2] | (qsyms[:, 1::2] << 4)).astype(np.uint8)
-        return jnp.asarray(qsyms), jnp.asarray(qlens)
+        return global_query_batch(qsyms, qlens, self.mesh)
+
+    @staticmethod
+    def _host_values(arr) -> np.ndarray:
+        """Rows of a (possibly multi-process) data-sharded array that live on
+        THIS process, in global row order.  Replicas along the shard axis
+        produce duplicate addressable shards - keep one per row range."""
+        if jax.process_count() == 1:
+            return np.asarray(arr)
+        seen: dict[int, np.ndarray] = {}
+        for s in arr.addressable_shards:
+            start = s.index[0].start or 0
+            if start not in seen:
+                seen[start] = np.asarray(s.data)
+        return np.concatenate([seen[k] for k in sorted(seen)], axis=0)
 
     def count_batch(self, queries) -> np.ndarray:
+        """Counts per query.  Single-process: for the whole list.  Multi-
+        process: every process passes the same global list and receives the
+        counts for ITS slice (process_local_queries order)."""
         qsyms, qlens = self._encode(queries)
         counts, _, _ = self._count(self.device_index, qsyms, qlens)
+        if jax.process_count() > 1:
+            from .distributed import process_local_queries
+
+            n_local = len(process_local_queries(queries, self.mesh))
+            return self._host_values(counts)[:n_local].astype(np.uint64)
         return np.asarray(counts)[: len(queries)].astype(np.uint64)
 
     def locate_batch(self, queries) -> list[list[tuple[int, int]]]:

@@ -95,7 +95,7 @@ def make_sweep(ntt: int, nchunks: int, interpret: bool = False):
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((nchunks, 128), jnp.uint32),
             interpret=interpret,
-        )(chunk_win, sorted_blk2d, blocks_sweep)
+        )(chunk_win, sorted_blk2d, blocks_sweep, blocks_sweep)
 
     return call
 

@@ -1,0 +1,94 @@
+"""Scaling-efficiency harness: count q/s vs device count, Mode A and Mode B.
+
+Measures the sharded engine at 1/2/4/8 devices.  On this rig the devices are
+VIRTUAL (CPU backend, xla_force_host_platform_device_count=8, all sharing the
+same physical cores) so the numbers validate the HARNESS and the collective
+paths, not real scaling; on a real pod slice the same script runs unchanged
+with JAX_PLATFORMS=tpu.  Results land in scaling_results.json.
+
+Run: python scripts/scaling_bench.py [n_symbols] [batch]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+if jax.default_backend() != "tpu":
+    jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from awry_tpu import Alphabet, FmBuildArgs, build_from_records
+from awry_tpu.parallel import ShardedFmEngine, make_mesh
+
+
+def measure(engine, batches, trials=3):
+    # warm up / compile
+    engine.count_batch(batches[0])
+    best = 0.0
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        for b in batches:
+            engine.count_batch(b)
+        dt = time.perf_counter() - t0
+        best = max(best, sum(len(b) for b in batches) / dt)
+    return best
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+    bsz = int(sys.argv[2]) if len(sys.argv) > 2 else 16_384
+    rng = np.random.default_rng(0)
+    seq = bytes(rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=n))
+    index = build_from_records([("scale", seq)], FmBuildArgs(
+        alphabet=Alphabet.NUCLEOTIDE, lookup_table_kmer_len=8))
+
+    starts = rng.integers(0, n - 30, size=bsz * 4)
+    queries = [seq[s : s + 30] for s in starts]
+    batches = [queries[i * bsz : (i + 1) * bsz] for i in range(4)]
+
+    total = len(jax.devices())
+    results = {"backend": jax.default_backend(), "devices_total": total,
+               "virtual": jax.default_backend() == "cpu", "modeA": [], "modeB": []}
+    counts = [c for c in (1, 2, 4, 8) if c <= total]
+    base = None
+    for nd in counts:
+        mesh = make_mesh(nd, shard_size=1)
+        qps = measure(ShardedFmEngine(index, mesh), batches)
+        base = base or qps
+        eff = qps / (base * nd)
+        results["modeA"].append({"devices": nd, "qps": round(qps), "efficiency": round(eff, 3)})
+        print(f"Mode A (replicated)   {nd} dev: {qps:,.0f} q/s  eff={eff:.2f}", flush=True)
+    baseb = None
+    for nd in counts:
+        if nd < 2:
+            continue
+        mesh = make_mesh(nd, shard_size=2)
+        qps = measure(ShardedFmEngine(index, mesh, shard_size=2), batches)
+        baseb = baseb or qps
+        eff = qps / (baseb * (nd // 2))
+        results["modeB"].append({"devices": nd, "shard_size": 2, "qps": round(qps),
+                                 "efficiency": round(eff, 3)})
+        print(f"Mode B (range-shard)  {nd} dev: {qps:,.0f} q/s  eff={eff:.2f}", flush=True)
+
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       "scaling_results.json")
+    with open(out, "w") as f:
+        json.dump(results, f, indent=2)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

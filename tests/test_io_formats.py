@@ -217,3 +217,35 @@ def test_sa_cache_rejects_foreign_same_length_text(rng, tmp_path):
     os.remove(sa_path + ".sha256")
     idx_b2 = build_from_records([("s", seq_b)], args)
     np.testing.assert_array_equal(idx_b2.sampled_sa, idx_b.sampled_sa)
+
+
+def test_stream_fasta_matches_slurp(rng, tmp_path):
+    """The streaming FASTA reader produces byte-identical SequenceData to the
+    in-memory parse, across record boundaries, tiny chunks, CRLF and
+    chunk-straddling headers."""
+    from awry_tpu.io.sequence_io import read_sequence_file, stream_fasta
+
+    recs = []
+    for i in range(7):
+        ln = int(rng.integers(1, 2000))
+        recs.append((f"rec {i} with spaces", random_seq(Alphabet.NUCLEOTIDE, rng, ln)))
+    lines = []
+    for h, s in recs:
+        lines.append(f">{h}".encode())
+        for j in range(0, len(s), 61):
+            lines.append(s[j : j + 61])
+    payload = b"\r\n".join(lines) + b"\n"
+    p = str(tmp_path / "multi.fasta")
+    with open(p, "wb") as f:
+        f.write(payload)
+    slurped = read_sequence_file(p, Alphabet.NUCLEOTIDE)
+    for chunk in (17, 61, 4096, 1 << 20):
+        streamed = stream_fasta(p, Alphabet.NUCLEOTIDE, chunk_bytes=chunk)
+        np.testing.assert_array_equal(streamed.text, slurped.text), chunk
+        np.testing.assert_array_equal(streamed.start_positions, slurped.start_positions)
+        assert streamed.headers == slurped.headers
+
+    with open(str(tmp_path / "bad.fasta"), "wb") as f:
+        f.write(b"ACGT\n>late\nACGT\n")
+    with pytest.raises(ValueError, match="before first"):
+        stream_fasta(str(tmp_path / "bad.fasta"), Alphabet.NUCLEOTIDE, chunk_bytes=8)
