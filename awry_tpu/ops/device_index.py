@@ -103,12 +103,14 @@ def build_fused_blocks(index: FmIndexData) -> np.ndarray:
     return fused
 
 
-def to_device(index: FmIndexData, *, sharding=None) -> FmDeviceIndex:
+def to_device(index: FmIndexData, *, sharding=None, device=None) -> FmDeviceIndex:
     """Ship a host index to the device(s).
 
     `sharding`: optional dict component-name -> jax.sharding.Sharding to
     place arrays (used by awry_tpu.parallel for replication/range-sharding);
-    default is single-device placement by jnp.asarray.
+    `device`: optional single jax.Device to pin every array to (used by
+    PartitionedFmIndex to spread partitions across local devices); default
+    is single-device placement by jnp.asarray.
     """
     if index.bwt_len >= 2**32:
         raise NotImplementedError(
@@ -119,6 +121,8 @@ def to_device(index: FmIndexData, *, sharding=None) -> FmDeviceIndex:
     def put(name: str, arr: np.ndarray) -> jax.Array:
         if sharding and name in sharding:
             return jax.device_put(arr, sharding[name])
+        if device is not None:
+            return jax.device_put(arr, device)
         return jnp.asarray(arr)
 
     text_sampled = (

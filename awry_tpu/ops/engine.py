@@ -113,6 +113,14 @@ class FmQueryEngine:
         counts = self._count_fn(self.device_index, qsyms, qlens)
         return np.asarray(counts)[: len(queries)].astype(np.uint64)
 
+    def count_batch_dispatch(self, encoded) -> jax.Array:
+        """Async count dispatch over a pre-encoded batch: returns the device
+        array WITHOUT syncing (JAX async dispatch), so counts on engines
+        pinned to different devices run concurrently (PartitionedFmIndex
+        fans one batch out across partition devices this way)."""
+        qsyms, qlens = encoded
+        return self._count_fn(self.device_index, qsyms, qlens)
+
     def search_ranges_batch(self, queries) -> tuple[np.ndarray, np.ndarray]:
         """Final BWT ranges per query (inclusive; empty iff start > end)."""
         qsyms, qlens = self.encode_queries(queries)

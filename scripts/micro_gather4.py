@@ -20,6 +20,7 @@ Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/micro_gather4.py
 from __future__ import annotations
 
 import functools
+import sys
 import time
 
 import jax
@@ -63,30 +64,31 @@ def make_sweep(ntt: int, nchunks: int, interpret: bool = False):
     nwin = ntt // TPW
 
     def kernel(cw_ref, blk_ref, winA_ref, winB_ref, out_ref):
-        base = cw_ref[pl.program_id(0)] * (TPW * 128)
-        blk = blk_ref[0]  # [128] block ids of this chunk (sorted)
+        c = pl.program_id(0)
+        base = cw_ref[c] * (TPW * 128)
+        blk = blk_ref[pl.ds(c, 1), :]  # [1, 128] block ids of this chunk (sorted)
         local = blk - base  # in [0, 2*TPW*128) when covered
         sub = local >> 7
         lane = local & 127
-        lane_b = jnp.broadcast_to(lane[None, :], (W, 128))
+        lane_b = jnp.broadcast_to(lane, (W, 128))
         rows_t = jnp.zeros((W, 128), dtype=jnp.uint32)
         for s in range(2 * TPW):
             src = winA_ref[s] if s < TPW else winB_ref[s - TPW]  # [W, 128]
             g = jnp.take_along_axis(src, lane_b, axis=1)
-            rows_t = jnp.where((sub == s)[None, :], g, rows_t)
-        out_ref[0] = rows_t.sum(axis=0, dtype=jnp.uint32)
+            rows_t = jnp.where(sub == s, g, rows_t)
+        out_ref[pl.ds(c, 1), :] = rows_t.sum(axis=0, dtype=jnp.uint32)[None, :]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nchunks,),
         in_specs=[
-            pl.BlockSpec((1, 128), lambda c, cw: (c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # all chunk block-ids (1 MB)
             pl.BlockSpec((TPW, W, 128), lambda c, cw: (jnp.minimum(cw[c], nwin - 1), 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TPW, W, 128), lambda c, cw: (jnp.minimum(cw[c] + 1, nwin - 1), 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 128), lambda c, cw: (c, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
     )
 
     def call(chunk_win, sorted_blk2d, blocks_sweep):
@@ -139,6 +141,9 @@ def main():
         if not ok:
             bad = np.argwhere(out != exp)
             print("   mismatches:", bad.shape[0], "first:", bad[:3].tolist())
+
+    if "--flags" not in sys.argv:
+        return  # flag-hint results already recorded: sorted+inbounds 20.3M rows/s, unique elem 81.7M/s
 
     # ---- lax.gather hint flags on the plain HBM row gather ----
     blocks_d = jnp.asarray(blocks)

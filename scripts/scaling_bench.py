@@ -23,7 +23,10 @@ if "host_platform_device_count" not in flags:
 
 import jax
 
-if jax.default_backend() != "tpu":
+# Force CPU BEFORE any backend query: probing jax.default_backend() first
+# would initialize the (single-client) tunneled TPU and can deadlock against
+# a concurrent TPU process.  Set AWRY_SCALING_TPU=1 to run on real chips.
+if os.environ.get("AWRY_SCALING_TPU") != "1":
     jax.config.update("jax_platforms", "cpu")
 
 import numpy as np

@@ -68,7 +68,7 @@ def test_partitioned_single_partition_degenerate(rng):
         records, FmBuildArgs(lookup_table_kmer_len=2),
         max_partition_symbols=10_000, max_query_len=8,
     )
-    assert len(part.partitions) == 1 and part.partitions[0].tail_index is None
+    assert len(part.partitions) == 1 and part.partitions[0].tail_syms is None
     mono = build_from_records(records, FmBuildArgs(lookup_table_kmer_len=2))
     for q in [records[0][1][:5], b"NN", b"ACG"]:
         assert part.count(q) == he.count(mono, q)
@@ -108,9 +108,25 @@ def test_partitioned_build_hygiene(rng, tmp_path):
     )
     assert len(part.partitions) == 2
     for p in part.partitions:
-        if p.tail_index is not None:
-            assert p.tail_index.kmer_len == 0  # tails skip the table
+        if p.tail_syms is not None:
+            assert p.tail_syms.shape[0] <= 11  # tail = max_query_len - 1 symbols
     mono = build_from_records(records, FmBuildArgs(lookup_table_kmer_len=2))
     text = b"N".join(s for _, s in records)
     for q in [text[95:105], b"ACGT", b"TTGA"]:
         assert part.count(q) == he.count(mono, q), q
+
+
+def test_partitions_spread_across_devices(rng):
+    """Partition engines round-robin over local devices so dispatches run
+    concurrently (round-1 verdict item 5)."""
+    import jax
+
+    records = _records(rng, n=8, lo=40, hi=60)
+    part = PartitionedFmIndex.build_from_records(
+        records, FmBuildArgs(lookup_table_kmer_len=2),
+        max_partition_symbols=80, max_query_len=8,
+    )
+    assert len(part.partitions) >= 4
+    part.count_batch([b"ACGT"], use_device=True)
+    devs = {p.engine.device_index.blocks.device for p in part.partitions if p.engine}
+    assert len(devs) == min(len(part.partitions), len(jax.devices()))
