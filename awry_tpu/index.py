@@ -109,7 +109,12 @@ class FmIndexData:
     def cardinality(self) -> int:
         return self.alphabet.cardinality
 
-    def validate(self) -> None:
+    def validate(self, strict: bool = False) -> None:
+        """Shape/dtype invariants; ``strict=True`` adds value-level checks
+        (SURVEY.md section 5 sanitizer row).  Device gathers CLAMP
+        out-of-range indices (silent wrong results on a corrupt artifact);
+        strict mode is the loud alternative - run it on any index loaded
+        from an untrusted or possibly-damaged file."""
         c = self.alphabet.cardinality
         v = self.alphabet.num_planes
         nb = -(-self.bwt_len // SYMBOLS_PER_BLOCK)
@@ -122,6 +127,28 @@ class FmIndexData:
         base = self.alphabet.num_encoding_symbols
         assert self.kmer_table.shape == (base**self.kmer_len, 2)
         assert self.seq_starts.shape == (len(self.headers),)
+        if not strict:
+            return
+        if (self.sampled_sa >= self.bwt_len).any():
+            raise ValueError("corrupt index: sampled_sa entries beyond bwt_len")
+        if (np.diff(self.prefix_sums.astype(np.int64)) < 0).any():
+            raise ValueError("corrupt index: prefix_sums not monotone")
+        if (np.diff(self.milestones.astype(np.int64), axis=0) < 0).any():
+            raise ValueError("corrupt index: milestones not cumulative")
+        if (self.milestones[0] != 0).any():
+            raise ValueError("corrupt index: first-block milestones nonzero")
+        kt = self.kmer_table.astype(np.int64)
+        nonempty = kt[:, 0] <= kt[:, 1]
+        if (kt[nonempty] >= self.bwt_len).any() or (kt < 0).any():
+            raise ValueError("corrupt index: kmer_table range beyond bwt_len")
+        ss = self.seq_starts.astype(np.int64)
+        if (np.diff(ss) <= 0).any() or (ss < 0).any() or (ss >= self.bwt_len).any():
+            raise ValueError("corrupt index: seq_starts not strictly increasing in range")
+        if self.has_marks:
+            if (self.text_sampled_sa >= self.bwt_len).any():
+                raise ValueError("corrupt index: text_sampled_sa beyond bwt_len")
+            if (np.diff(self.mark_milestones.astype(np.int64)) < 0).any():
+                raise ValueError("corrupt index: mark_milestones not cumulative")
 
     def memory_report(self) -> dict[str, int]:
         """Bytes per component (analog of the reference's MemSize derive,

@@ -20,7 +20,9 @@ from ..index import FmIndexData
 ARTIFACT_VERSION = 2  # v2 adds text-sampling mark arrays (v1 loads with marks=None)
 
 
-def save_artifact(index: FmIndexData, path: str) -> None:
+def save_artifact(index: FmIndexData, path: str, *, compress: bool = True) -> None:
+    """``compress=False`` skips zlib - at genome scale (multi-GB arrays) the
+    uncompressed write is minutes faster and the arrays barely compress."""
     meta = {
         "artifact_version": ARTIFACT_VERSION,
         "fm_version": index.version_number,
@@ -46,10 +48,12 @@ def save_artifact(index: FmIndexData, path: str) -> None:
             mark_milestones=index.mark_milestones,
             text_sampled_sa=index.text_sampled_sa,
         )
-    np.savez_compressed(path, **arrays)
+    (np.savez_compressed if compress else np.savez)(path, **arrays)
 
 
-def load_artifact(path: str) -> FmIndexData:
+def load_artifact(path: str, *, strict: bool = False) -> FmIndexData:
+    """Load a .npz index artifact; ``strict=True`` runs the value-level
+    corruption checks (FmIndexData.validate strict mode) before returning."""
     with np.load(path) as z:
         meta = json.loads(bytes(z["meta"]).decode())
         if meta["artifact_version"] not in (1, ARTIFACT_VERSION):
@@ -72,5 +76,5 @@ def load_artifact(path: str) -> FmIndexData:
             mark_milestones=z["mark_milestones"] if has_marks else None,
             text_sampled_sa=z["text_sampled_sa"] if has_marks else None,
         )
-    index.validate()
+    index.validate(strict=strict)
     return index

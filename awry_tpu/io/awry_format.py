@@ -88,9 +88,16 @@ def save_awry(index: FmIndexData, path: str) -> None:
             f.write(hb)
 
 
-def load_awry(path: str) -> FmIndexData:
+def load_awry(path: str, *, kmer_on_device: bool | None = None) -> FmIndexData:
     """Parse a .awry file (ours or AWRY's) back to FmIndexData
-    (src/fm_index_file.rs:132-287)."""
+    (src/fm_index_file.rs:132-287).
+
+    The k-mer table is re-derived rather than trusted (see module
+    docstring).  ``kmer_on_device`` routes that re-derivation through the
+    breadth-wise device builder (ops/kmer.py) - at k >= 12 the host path
+    takes minutes-to-hours while the device build takes seconds; default
+    (None) picks the device exactly in that regime when an accelerator is
+    available."""
     with open(path, "rb") as f:
         data = f.read()
     buf = io.BytesIO(data)
@@ -152,8 +159,21 @@ def load_awry(path: str) -> FmIndexData:
         headers=headers,
         version_number=int(version),
     )
-    from ..host_engine import populate_kmer_table
+    if kmer_on_device is None:
+        try:
+            import jax
 
-    index.kmer_table = populate_kmer_table(index)
+            kmer_on_device = kmer_len >= 12 and jax.default_backend() != "cpu"
+        except Exception:  # noqa: BLE001
+            kmer_on_device = False
+    if kmer_on_device:
+        from ..ops.device_index import to_device
+        from ..ops.kmer import populate_kmer_table_device
+
+        index.kmer_table = populate_kmer_table_device(to_device(index))
+    else:
+        from ..host_engine import populate_kmer_table
+
+        index.kmer_table = populate_kmer_table(index)
     index.validate()
     return index

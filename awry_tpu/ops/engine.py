@@ -59,8 +59,21 @@ def encode_query_batch(alphabet, queries, *, min_batch: int = 16, min_len: int =
 class FmQueryEngine:
     """Batch count/locate engine over a device-resident FM-index."""
 
-    def __init__(self, index: FmIndexData | FmDeviceIndex, *, use_pallas: bool = False):
+    def __init__(
+        self,
+        index: FmIndexData | FmDeviceIndex,
+        *,
+        use_pallas: bool = False,
+        strict: bool = False,
+    ):
+        """``strict=True`` is the debug/sanitizer mode (SURVEY.md section 5):
+        host indexes are value-validated before shipping, and pre-encoded
+        wire batches are checked for out-of-range symbols/lengths instead of
+        silently clamping through device gathers."""
+        self.strict = strict
         if isinstance(index, FmIndexData):
+            if strict:
+                index.validate(strict=True)
             self.device_index = to_device(index)
         else:
             self.device_index = index
@@ -119,7 +132,25 @@ class FmQueryEngine:
         pinned to different devices run concurrently (PartitionedFmIndex
         fans one batch out across partition devices this way)."""
         qsyms, qlens = encoded
+        if self.strict:
+            self._check_wire(qsyms, qlens)
         return self._count_fn(self.device_index, qsyms, qlens)
+
+    def _check_wire(self, qsyms, qlens) -> None:
+        """Strict-mode wire validation: out-of-range symbols or lengths in a
+        pre-encoded batch raise instead of clamping through device gathers."""
+        qs = np.asarray(qsyms)
+        ql = np.asarray(qlens)
+        card = self.device_index.alphabet.cardinality
+        l = qs.shape[1] * (2 if self._wire_packed else 1)
+        if (ql < 0).any() or (ql > l).any():
+            raise ValueError(f"wire batch: query length outside [0, {l}]")
+        if self._wire_packed:
+            syms = np.concatenate([qs & 0xF, qs >> 4], axis=None)
+        else:
+            syms = qs
+        if (syms.astype(np.int64) >= card).any() or (syms.astype(np.int64) < 0).any():
+            raise ValueError(f"wire batch: symbol index outside [0, {card})")
 
     def search_ranges_batch(self, queries) -> tuple[np.ndarray, np.ndarray]:
         """Final BWT ranges per query (inclusive; empty iff start > end)."""

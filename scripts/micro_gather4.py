@@ -76,7 +76,8 @@ def make_sweep(ntt: int, nchunks: int, interpret: bool = False):
             src = winA_ref[s] if s < TPW else winB_ref[s - TPW]  # [W, 128]
             g = jnp.take_along_axis(src, lane_b, axis=1)
             rows_t = jnp.where(sub == s, g, rows_t)
-        out_ref[pl.ds(c, 1), :] = rows_t.sum(axis=0, dtype=jnp.uint32)[None, :]
+        s32 = rows_t.astype(jnp.int32).sum(axis=0, dtype=jnp.int32)
+        out_ref[pl.ds(c, 1), :] = s32.astype(jnp.uint32)[None, :]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

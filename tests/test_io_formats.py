@@ -249,3 +249,99 @@ def test_stream_fasta_matches_slurp(rng, tmp_path):
         f.write(b"ACGT\n>late\nACGT\n")
     with pytest.raises(ValueError, match="before first"):
         stream_fasta(str(tmp_path / "bad.fasta"), Alphabet.NUCLEOTIDE, chunk_bytes=8)
+
+
+def test_awry_golden_full_file():
+    """COMPLETE hand-computed .awry file for text 'ACGT', pinned byte for
+    byte against the reference write order (src/fm_index_file.rs:42-106).
+    Every section is derived here independently of the library:
+      SA of ACGT$ = [4,0,1,2,3]; BWT = T $ A C G;
+      codes $=0b100 A=0b110 C=0b101 G=0b011 T=0b001 (src/alphabet.rs:310-317)
+      plane v bit p = bit v of code(BWT[p]), little-endian within the window.
+    """
+    import struct
+
+    from awry_tpu import FmBuildArgs, build_from_records
+
+    index = build_from_records(
+        [("golden", b"ACGT")],
+        FmBuildArgs(lookup_table_kmer_len=1, suffix_array_compression_ratio=8),
+    )
+    path_bytes = None
+    import io as _io
+    import tempfile, os as _os
+
+    with tempfile.TemporaryDirectory() as d:
+        p = _os.path.join(d, "g.awry")
+        save_awry(index, p)
+        path_bytes = open(p, "rb").read()
+
+    expected = bytearray()
+    expected += b"AWRY-Index\n"  # magic (fm_index_file.rs:18)
+    expected += struct.pack("<4Q", 1, 8, 5, 0)  # version, ratio, bwt_len, Nucleotide
+    # Block 0: 3 bit-vector windows of 32 B each, then 8 u64 milestones.
+    # BWT = T $ A C G -> plane0 bits {0,3,4}=25, plane1 {2,4}=20, plane2 {1,2,3}=14.
+    for first_word in (25, 20, 14):
+        expected += struct.pack("<Q", first_word) + b"\x00" * 24
+    expected += struct.pack("<8Q", 0, 0, 0, 0, 0, 0, 0, 0)  # milestones (block start)
+    # Prefix sums over counts {$:1,A:1,C:1,G:1,N:0,T:1} -> 7 u64.
+    expected += struct.pack("<7Q", 0, 1, 2, 3, 4, 4, 5)
+    # Packed sampled SA: rows 0,8,16.. -> [SA row0]=[4]; 3 bits/elem -> word 4.
+    expected += struct.pack("<Q", 4)
+    # k-mer table, k=1: (start,end) for dense symbols A,C,G,T.
+    expected += struct.pack("<B", 1)
+    expected += struct.pack("<8Q", 1, 1, 2, 2, 3, 3, 4, 4)
+    # Sequence index: count, then (start, header_len, header bytes).
+    expected += struct.pack("<Q", 1)
+    expected += struct.pack("<QQ", 0, len(b"golden")) + b"golden"
+
+    assert path_bytes == bytes(expected), (
+        f"first mismatch at offset "
+        f"{next(i for i, (a, b) in enumerate(zip(path_bytes, bytes(expected))) if a != b) if path_bytes != bytes(expected) and len(path_bytes) == len(expected) else (len(path_bytes), len(expected))}"
+    )
+
+
+def test_strict_mode_catches_corruption(rng, tmp_path):
+    """Debug/sanitizer mode (SURVEY.md section 5): corrupt artifacts and
+    out-of-range wire batches fail LOUDLY instead of clamping."""
+    import jax.numpy as jnp
+
+    from awry_tpu import build_from_records
+    from awry_tpu.io.artifact import load_artifact, save_artifact
+    from awry_tpu.ops import FmQueryEngine
+
+    seq = random_seq(Alphabet.NUCLEOTIDE, rng, 500)
+    index = build_from_records([("s", seq)], FmBuildArgs(lookup_table_kmer_len=2))
+
+    p = str(tmp_path / "ok.npz")
+    save_artifact(index, p)
+    load_artifact(p, strict=True)  # clean artifact passes
+
+    bad = dataclasses_replace_sa(index)
+    pbad = str(tmp_path / "bad.npz")
+    save_artifact(bad, pbad)
+    load_artifact(pbad)  # default (lenient) load still works
+    with pytest.raises(ValueError, match="sampled_sa"):
+        load_artifact(pbad, strict=True)
+    with pytest.raises(ValueError, match="sampled_sa"):
+        FmQueryEngine(bad, strict=True)
+
+    # Wire batch with out-of-range symbol indices (bypassing encode_queries).
+    eng = FmQueryEngine(index, strict=True)
+    qsyms, qlens = eng.encode_queries([seq[:8]])
+    evil = jnp.asarray(np.full_like(np.asarray(qsyms), 0xFF))
+    with pytest.raises(ValueError, match="symbol index"):
+        eng.count_batch_dispatch((evil, qlens))
+    with pytest.raises(ValueError, match="query length"):
+        eng.count_batch_dispatch((qsyms, jnp.asarray(np.array([999], dtype=np.int32))))
+    # Clean dispatch passes strict checks and counts correctly.
+    counts = np.asarray(eng.count_batch_dispatch((qsyms, qlens)))
+    assert counts[0] >= 1
+
+
+def dataclasses_replace_sa(index):
+    import dataclasses
+
+    bad_sa = index.sampled_sa.copy()
+    bad_sa[0] = index.bwt_len + 5
+    return dataclasses.replace(index, sampled_sa=bad_sa)
