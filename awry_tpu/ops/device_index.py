@@ -44,7 +44,7 @@ def mark_words_offset(alphabet: Alphabet) -> int:
 
 @partial(jax.tree_util.register_dataclass, data_fields=[
     "blocks", "prefix_sums", "sampled_sa", "text_sampled_sa", "kmer_table", "seq_starts",
-    "index_to_code", "code_to_index", "index_to_dense",
+    "index_to_code", "code_to_index", "index_to_dense", "blocks_sweep",
 ], meta_fields=["alphabet", "sa_ratio", "bwt_len", "kmer_len", "has_marks"])
 @dataclasses.dataclass(frozen=True)
 class FmDeviceIndex:
@@ -73,6 +73,11 @@ class FmDeviceIndex:
     bwt_len: int
     kmer_len: int
     has_marks: bool
+    # Sweep-engine layout (ops/sweep.py): the same fused rows transposed per
+    # 128-block tile, [num_tiles_padded, row_words, 128].  Costs a second
+    # copy of the block payload in HBM; built only when the sorted-sweep hot
+    # path is enabled (HBM-resident indexes + large batches).  None otherwise.
+    blocks_sweep: jax.Array | None = None
 
     @property
     def num_planes(self) -> int:
@@ -103,14 +108,16 @@ def build_fused_blocks(index: FmIndexData) -> np.ndarray:
     return fused
 
 
-def to_device(index: FmIndexData, *, sharding=None, device=None) -> FmDeviceIndex:
+def to_device(index: FmIndexData, *, sharding=None, device=None, build_sweep: bool = False) -> FmDeviceIndex:
     """Ship a host index to the device(s).
 
     `sharding`: optional dict component-name -> jax.sharding.Sharding to
     place arrays (used by awry_tpu.parallel for replication/range-sharding);
     `device`: optional single jax.Device to pin every array to (used by
     PartitionedFmIndex to spread partitions across local devices); default
-    is single-device placement by jnp.asarray.
+    is single-device placement by jnp.asarray.  `build_sweep` additionally
+    ships the transposed-per-tile layout for the sorted-sweep hot path
+    (ops/sweep.py; doubles the block payload in HBM).
     """
     if index.bwt_len >= 2**32:
         raise NotImplementedError(
@@ -128,8 +135,15 @@ def to_device(index: FmIndexData, *, sharding=None, device=None) -> FmDeviceInde
     text_sampled = (
         index.text_sampled_sa if index.has_marks else index.sampled_sa
     )
+    fused = build_fused_blocks(index)
+    sweep_arr = None
+    if build_sweep:
+        from .sweep import build_sweep_blocks
+
+        sweep_arr = put("blocks_sweep", build_sweep_blocks(fused))
     return FmDeviceIndex(
-        blocks=put("blocks", build_fused_blocks(index)),
+        blocks=put("blocks", fused),
+        blocks_sweep=sweep_arr,
         prefix_sums=put("prefix_sums", index.prefix_sums.astype(np.uint32)),
         sampled_sa=put("sampled_sa", index.sampled_sa.astype(np.uint32)),
         text_sampled_sa=put("text_sampled_sa", text_sampled.astype(np.uint32)),

@@ -64,17 +64,29 @@ class FmQueryEngine:
         index: FmIndexData | FmDeviceIndex,
         *,
         use_pallas: bool = False,
+        use_sweep: bool | None = None,
         strict: bool = False,
     ):
         """``strict=True`` is the debug/sanitizer mode (SURVEY.md section 5):
         host indexes are value-validated before shipping, and pre-encoded
         wire batches are checked for out-of-range symbols/lengths instead of
-        silently clamping through device gathers."""
+        silently clamping through device gathers.
+
+        ``use_sweep`` enables the sorted-sweep hot path (ops/sweep.py) for
+        HBM-resident indexes; None picks it automatically when the block
+        payload exceeds VMEM scale, marks are present, and large batches are
+        expected.  Costs a second copy of the block payload in HBM."""
         self.strict = strict
         if isinstance(index, FmIndexData):
             if strict:
                 index.validate(strict=True)
-            self.device_index = to_device(index)
+            if use_sweep is None:
+                use_sweep = (
+                    index.has_marks
+                    and index.planes.nbytes >= 64 * 1024 * 1024
+                    and jax.default_backend() == "tpu"
+                )
+            self.device_index = to_device(index, build_sweep=use_sweep)
         else:
             self.device_index = index
         from .locate import count_locate_capped

@@ -126,8 +126,13 @@ def lf_walk(index: FmDeviceIndex, rows: jax.Array, *, backstep_fn=None) -> jax.A
     """Walk each BWT row to its recovered text position.
 
     rows: uint32[N] -> text_pos uint32[N].  Uses the bounded marked walk
-    when the index carries mark data and no backstep override is given.
+    when the index carries mark data and no backstep override is given
+    (served by the sorted sweep when the index carries the sweep layout).
     """
+    if backstep_fn is None and index.has_marks and index.blocks_sweep is not None:
+        from .sweep import marked_walk_sweep
+
+        return marked_walk_sweep(index, rows)
     if backstep_fn is None and index.has_marks:
         return _marked_walk(index, rows)
     if backstep_fn is None:

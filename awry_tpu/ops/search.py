@@ -67,7 +67,14 @@ def search_ranges(index: FmDeviceIndex, qsyms: jax.Array, qlens: jax.Array, *, u
       (starts, ends): uint32[B] inclusive ranges; empty iff start > end.
     """
     if update_fn is None:
-        update_fn = lambda s, e, sym: update_range(index, s, e, sym)  # noqa: E731
+        if index.blocks_sweep is not None:
+            # Sorted-sweep hot path (ops/sweep.py): enabled by building the
+            # device index with to_device(build_sweep=True).
+            from .sweep import sweep_update_range
+
+            update_fn = lambda s, e, sym: sweep_update_range(index, s, e, sym)  # noqa: E731
+        else:
+            update_fn = lambda s, e, sym: update_range(index, s, e, sym)  # noqa: E731
     B, L = qsyms.shape
     # Accept int8 wire format; widen once on device.
     qt = qsyms.T.astype(jnp.int32)  # [L, B]; row L-1-i = symbol at distance i from the end

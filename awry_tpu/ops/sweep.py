@@ -1,0 +1,394 @@
+"""Sorted-sweep rank engine: the HBM-regime hot path.
+
+Problem (BASELINE.md round-1): backward search over an index too big for
+VMEM is bound by random 128 B row fetches, and EVERY per-row primitive on
+a v5e is issue-bound far below HBM bandwidth - measured XLA gather ~25M
+rows/s (locality-insensitive: all-equal indices are no faster), per-row
+Pallas DMA ~15M rows/s (~65 ns issue cost).
+
+Escape (this module): requests are SORTED by position, then served by a
+Pallas kernel that walks the request stream in chunks of 128 while the
+covering block WINDOWS stream through VMEM as large aligned tiles (two
+scalar-prefetch-indexed BlockSpecs, auto-double-buffered).  Row selection
+inside a window is a per-lane dynamic gather (Mosaic's tpu.dynamic_gather
+supports exactly this shape: gather along the 128-lane dimension; along
+sublanes it is limited to one vreg), and the full rank compute
+(XOR-polarity plane combine + masked popcount + milestone select -
+awry_tpu/ops/rank.py semantics) runs on the selected [W, 128] transposed
+rows without leaving VMEM.  Measured on v5e: 184M rows/s row selection -
+7.5x the XLA gather (scripts/micro_gather4.py).
+
+Layout: ``blocks_sweep[t, w, j] = blocks[t*128 + j, w]`` - fused block rows
+transposed per 128-block tile, so a window arrives lane-major exactly as
+the VPU rank kernel wants it.  Tile count is padded to a multiple of
+2*WINDOW_TILES so the +1 window index never leaves the array.
+
+Coverage: a chunk of 128 sorted requests spans ~128 * NB/R blocks; two
+aligned windows (2 * WINDOW_TILES * 128 blocks) cover it whenever that span
+fits - always, for serving-sized batches on genome-sized indexes.  Lanes of
+an uncovered chunk are flagged and recomputed by the caller through the
+plain-gather path, so results are exact for EVERY request distribution.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..alphabet import code_to_index_table, index_to_code_table
+from .device_index import FmDeviceIndex
+
+WINDOW_TILES = 8  # tiles per window; window = 1024 blocks (160 KB nucleotide)
+CHUNK = 128  # requests per grid step (= lane width)
+_FULL = 0xFFFFFFFF
+_SENTINEL_STEP = 0xFFFFFFFF  # "stepped to row 0" flag is unnecessary: kernel emits 0
+
+
+# ---------------------------------------------------------------------------
+# In-kernel rank compute on selected rows_t [W, 128] (Mosaic-safe mirrors of
+# awry_tpu/ops/rank.py: int32 reductions, python-constant select chains).
+# ---------------------------------------------------------------------------
+
+def _select_u32(table, idx):
+    out = jnp.full(idx.shape, np.uint32(table[0]), dtype=jnp.uint32)
+    for k in range(1, len(table)):
+        out = jnp.where(idx == k, jnp.uint32(table[k]), out)
+    return out
+
+
+def _select_rows(rows_t, base, count, idx):
+    out = rows_t[base]
+    for k in range(1, count):
+        out = jnp.where(idx == k, rows_t[base + k], out)
+    return out
+
+
+def _occ_from_rows_t(alphabet, rows_t, local, sym):
+    """Rank from transposed rows: milestone + inclusive masked popcount
+    (src/bwt.rs:110-135; mask inclusivity src/simd_instructions.rs:106-107).
+    rows_t [W, 128] u32; local [1, 128] u32 (pos & 255); sym [1, 128] i32.
+    """
+    code_table = index_to_code_table(alphabet)
+    occv = None
+    for v in range(alphabet.num_planes):
+        bits = [(int(c) >> v) & 1 for c in code_table]
+        xor_mask = _select_u32([_FULL if b == 0 else 0 for b in bits], sym)
+        plane = rows_t[v * 8 : (v + 1) * 8] ^ xor_mask
+        occv = plane if occv is None else occv & plane
+    word = local >> 5
+    lane = jax.lax.broadcasted_iota(jnp.uint32, (8, 1), 0)
+    in_word = jnp.uint32(_FULL) >> (jnp.uint32(31) - (local & jnp.uint32(31)))
+    mask = jnp.where(lane < word, jnp.uint32(_FULL), jnp.where(lane == word, in_word, jnp.uint32(0)))
+    # Mosaic has no unsigned reductions: popcount sums run in int32.
+    pop = jax.lax.population_count(occv & mask).astype(jnp.int32).sum(axis=0, dtype=jnp.int32)
+    milestone = _select_rows(rows_t, alphabet.num_planes * 8, alphabet.cardinality, sym)[0]
+    return milestone + pop.astype(jnp.uint32)
+
+
+def _symbol_from_rows_t(alphabet, rows_t, local):
+    word = (local >> 5).astype(jnp.int32)
+    bit = (local & jnp.uint32(31)).astype(jnp.uint32)
+    code = jnp.zeros(local.shape, dtype=jnp.int32)
+    for v in range(alphabet.num_planes):
+        lane_word = _select_rows(rows_t, v * 8, 8, word)
+        code = code | (((lane_word >> bit) & jnp.uint32(1)).astype(jnp.int32) << v)
+    c2i = code_to_index_table(alphabet)
+    sym = jnp.full(code.shape, np.int32(c2i[0]), dtype=jnp.int32)
+    for k in range(1, len(c2i)):
+        sym = jnp.where(code == k, np.int32(c2i[k]), sym)
+    return sym
+
+
+def _mark_bit_from_rows_t(mark_offset, rows_t, local):
+    word = (local >> 5).astype(jnp.int32)
+    bit = (local & jnp.uint32(31)).astype(jnp.uint32)
+    lane_word = _select_rows(rows_t, mark_offset, 8, word)
+    return (lane_word >> bit) & jnp.uint32(1)
+
+
+def _mark_rank_from_rows_t(mark_offset, rows_t, local):
+    """Marked rows strictly before pos (exclusive mask + mark milestone)."""
+    word = local >> 5
+    lane = jax.lax.broadcasted_iota(jnp.uint32, (8, 1), 0)
+    in_word = (jnp.uint32(1) << (local & jnp.uint32(31))) - jnp.uint32(1)
+    mask = jnp.where(lane < word, jnp.uint32(_FULL), jnp.where(lane == word, in_word, jnp.uint32(0)))
+    marks = rows_t[mark_offset : mark_offset + 8]
+    pop = jax.lax.population_count(marks & mask).astype(jnp.int32).sum(axis=0, dtype=jnp.int32)
+    return rows_t[mark_offset + 8] + pop.astype(jnp.uint32)  # [128] milestone lane vector
+
+
+def _prefix_select(ps_ref, cardinality, sym):
+    """C[sym] from the scalar-prefetched prefix sums (runtime values)."""
+    out = jnp.full(sym.shape, ps_ref[0], dtype=jnp.uint32)
+    for k in range(1, cardinality + 1):
+        out = jnp.where(sym == k, ps_ref[k], out)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Sweep layout
+# ---------------------------------------------------------------------------
+
+def sweep_pad_tiles(num_blocks: int) -> int:
+    nt = -(-num_blocks // CHUNK)
+    return -(-nt // (2 * WINDOW_TILES)) * (2 * WINDOW_TILES)
+
+
+def build_sweep_blocks(blocks: np.ndarray) -> np.ndarray:
+    """[NB, W] fused rows -> [NT_pad, W, 128] transposed-per-tile layout."""
+    nb, w = blocks.shape
+    nt = sweep_pad_tiles(nb)
+    padded = np.zeros((nt * CHUNK, w), dtype=np.uint32)
+    padded[:nb] = np.asarray(blocks, dtype=np.uint32)
+    return np.ascontiguousarray(padded.reshape(nt, CHUNK, w).transpose(0, 2, 1))
+
+
+def _row_select(winA, winB, local_block):
+    """rows_t [W, 128] for per-lane window-local block ids: 2*WINDOW_TILES
+    lane-gathers + select chain (the Mosaic-supported gather shape)."""
+    w = winA.shape[1]
+    sub = local_block >> 7
+    lane_b = jnp.broadcast_to((local_block & 127).astype(jnp.int32), (w, CHUNK))
+    rows_t = jnp.zeros((w, CHUNK), dtype=jnp.uint32)
+    for s in range(2 * WINDOW_TILES):
+        src = winA[s] if s < WINDOW_TILES else winB[s - WINDOW_TILES]
+        g = jnp.take_along_axis(src, lane_b, axis=1)
+        rows_t = jnp.where(sub == s, g, rows_t)
+    return rows_t
+
+
+# ---------------------------------------------------------------------------
+# Kernels
+# ---------------------------------------------------------------------------
+
+def _occ_kernel(alphabet):
+    def kernel(cw_ref, ps_ref, pos_ref, sym_ref, winA_ref, winB_ref, occ_ref):
+        c = pl.program_id(0)
+        r = c % 8
+        base = cw_ref[c] * (WINDOW_TILES * CHUNK)
+        pos = pos_ref[0, r, :][None, :]
+        sym = sym_ref[0, r, :][None, :]
+        local_block = (pos >> 8).astype(jnp.int32) - base
+        rows_t = _row_select(winA_ref, winB_ref, local_block)
+        occ_ref[0, r, :] = _occ_from_rows_t(alphabet, rows_t, pos & jnp.uint32(255), sym)
+
+    return kernel
+
+
+def _backstep_kernel(alphabet, mark_offset, ambiguity_idx):
+    """Fused marked-walk visit: from ONE row selection, emit the LF-stepped
+    row (sentinel rows -> 0; src/fm_index.rs:585-593) and the packed mark
+    state (mark_rank << 1) | mark_bit (ops/locate.py marked walk)."""
+
+    def kernel(cw_ref, ps_ref, pos_ref, winA_ref, winB_ref, step_ref, mark_ref):
+        c = pl.program_id(0)
+        r = c % 8
+        base = cw_ref[c] * (WINDOW_TILES * CHUNK)
+        pos = pos_ref[0, r, :][None, :]
+        local_block = (pos >> 8).astype(jnp.int32) - base
+        rows_t = _row_select(winA_ref, winB_ref, local_block)
+        local = pos & jnp.uint32(255)
+        sym = _symbol_from_rows_t(alphabet, rows_t, local)
+        is_sentinel = sym == 0
+        safe = jnp.where(is_sentinel, ambiguity_idx, sym)
+        occ = _occ_from_rows_t(alphabet, rows_t, local, safe)
+        stepped = _prefix_select(ps_ref, alphabet.cardinality, safe) + occ - jnp.uint32(1)
+        mark_bit = _mark_bit_from_rows_t(mark_offset, rows_t, local)
+        mark_rank = _mark_rank_from_rows_t(mark_offset, rows_t, local)
+        step_ref[0, r, :] = jnp.where(is_sentinel, jnp.uint32(0), stepped)[0]
+        mark_ref[0, r, :] = ((mark_rank << 1) | mark_bit)[0]
+
+    return kernel
+
+
+def _grid_spec(nchunks: int, nwin: int, w: int, n_req: int, n_out: int):
+    """PrefetchScalarGridSpec shared by the sweep kernels.
+
+    Scalar prefetch: (chunk window ids, prefix sums).  Request arrays and
+    outputs are grid-blocked in groups of 8 chunks ((1, 8, 128) blocks
+    satisfy the (8, 128)-divisibility rule); the two window inputs follow
+    the prefetched per-chunk window id (Pallas skips the re-fetch when the
+    id repeats, which sorted requests make the common case)."""
+    req_spec = pl.BlockSpec((1, 8, CHUNK), lambda c, cw, ps: (c // 8, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def win_map(off):
+        return lambda c, cw, ps: (jnp.minimum(cw[c] + off, nwin - 1), 0, 0)
+
+    win_spec = lambda off: pl.BlockSpec(  # noqa: E731
+        (WINDOW_TILES, w, CHUNK), win_map(off), memory_space=pltpu.VMEM
+    )
+    out_spec = pl.BlockSpec((1, 8, CHUNK), lambda c, cw, ps: (c // 8, 0, 0),
+                            memory_space=pltpu.VMEM)
+    return pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nchunks,),
+        in_specs=[req_spec] * n_req + [win_spec(0), win_spec(1)],
+        out_specs=tuple(out_spec for _ in range(n_out)) if n_out > 1 else out_spec,
+    )
+
+
+# ---------------------------------------------------------------------------
+# XLA-side plumbing: sort, chunk, call, unsort
+# ---------------------------------------------------------------------------
+
+_VAL_SHIFT = 5  # low bits of the sort payload carry the symbol (cardinality <= 22)
+
+
+def _sorted_chunks(pos: jax.Array, val: jax.Array):
+    """Sort (pos, val) by pos; pad to whole groups of 8 chunks.  Padded lanes
+    reuse the last position (stay covered) and carry payload ids ABOVE every
+    real id so the unsort puts them at the tail."""
+    r = pos.shape[0]
+    nchunks = (-(-r // CHUNK) + 7) // 8 * 8
+    npad = nchunks * CHUNK
+    idx = jnp.arange(npad, dtype=jnp.int32)
+    pos_p = jnp.where(idx < r, _pad_to(pos, npad), pos[r - 1])
+    val_p = jnp.where(idx < r, _pad_to(val, npad), idx << _VAL_SHIFT)
+    spos, sval = jax.lax.sort_key_val(pos_p, val_p)
+    first_blk = (spos[::CHUNK] >> 8).astype(jnp.int32)
+    last_blk = (spos[CHUNK - 1 :: CHUNK] >> 8).astype(jnp.int32)
+    win = first_blk // (WINDOW_TILES * CHUNK)
+    covered = (last_blk - win * (WINDOW_TILES * CHUNK)) < 2 * WINDOW_TILES * CHUNK
+    return spos, sval, win, covered, nchunks
+
+
+def _pad_to(x: jax.Array, n: int) -> jax.Array:
+    if x.shape[0] == n:
+        return x
+    return jnp.concatenate([x, jnp.zeros((n - x.shape[0],), dtype=x.dtype)])
+
+
+def _unsort(sval: jax.Array, *arrays):
+    """Restore original request order (sval is unique and increasing in the
+    original id); drop padded tail lanes at the caller via [:r]."""
+    outs = []
+    for a in arrays:
+        _, out = jax.lax.sort_key_val(sval, a)
+        outs.append(out)
+    return outs
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def occurrence_sweep(index: FmDeviceIndex, pos: jax.Array, sym: jax.Array, *, interpret: bool = False):
+    """Occ(pos[i], sym[i]) over a large request batch via the sorted sweep.
+
+    Returns (occ uint32 [R], covered bool [R]); covered=False lanes were not
+    computed (their chunk spanned more than two windows) and must be
+    recomputed through the plain-gather path (rank.occurrence)."""
+    r = pos.shape[0]
+    val = (jnp.arange(r, dtype=jnp.int32) << _VAL_SHIFT) | sym.astype(jnp.int32)
+    spos, sval, win, covered_c, nchunks = _sorted_chunks(pos, val)
+    nwin = index.blocks_sweep.shape[0] // WINDOW_TILES
+    w = index.blocks_sweep.shape[1]
+    occ_s = pl.pallas_call(
+        _occ_kernel(index.alphabet),
+        grid_spec=_grid_spec(nchunks, nwin, w, n_req=2, n_out=1),
+        out_shape=jax.ShapeDtypeStruct((nchunks // 8, 8, CHUNK), jnp.uint32),
+        interpret=interpret,
+    )(
+        win,
+        index.prefix_sums,
+        spos.reshape(nchunks // 8, 8, CHUNK),
+        (sval & ((1 << _VAL_SHIFT) - 1)).astype(jnp.int32).reshape(nchunks // 8, 8, CHUNK),
+        index.blocks_sweep,
+        index.blocks_sweep,
+    ).reshape(-1)
+    cov_s = jnp.broadcast_to(covered_c[:, None], (nchunks, CHUNK)).reshape(-1)
+    occ, cov = _unsort(sval, occ_s, cov_s)
+    return occ[:r], cov[:r]
+
+
+def _auto_interpret() -> bool:
+    """Pallas interpreter off-TPU (tests/CI run the CPU backend)."""
+    return jax.default_backend() != "tpu"
+
+
+def sweep_update_range(index: FmDeviceIndex, starts, ends, sym):
+    """Drop-in LF-mapping range update (rank.update_range contract) served by
+    the sorted sweep; uncovered lanes fall back to the plain-gather rank via
+    lax.cond so the common (fully covered) batch never pays for it."""
+    from .rank import occurrence, prefix_sum_select
+
+    b = starts.shape[0]
+    pos = jnp.concatenate([starts - jnp.uint32(1), ends])
+    sym2 = jnp.concatenate([sym, sym])
+    occ, cov = occurrence_sweep(index, pos, sym2, interpret=_auto_interpret())
+    occ = jax.lax.cond(
+        jnp.all(cov),
+        lambda: occ,
+        lambda: jnp.where(cov, occ, occurrence(index, pos, sym2)),
+    )
+    c = prefix_sum_select(index, sym)
+    return c + occ[:b], c + occ[b:] - jnp.uint32(1)
+
+
+def marked_walk_sweep(index: FmDeviceIndex, rows: jax.Array) -> jax.Array:
+    """Marked LF-walk (ops/locate.py._marked_walk semantics) with every row
+    visit served by the fused sweep backstep kernel; returns text positions."""
+    from .locate import _mark_bit_t, _mark_rank_t, _text_pos_mod
+    from .rank import backstep_from_rows_t, fetch_rows_t
+
+    interp = _auto_interpret()
+
+    def visit(rw):
+        stepped, mark, cov = backstep_mark_sweep(index, rw, interpret=interp)
+
+        def fallback():
+            rows_t = fetch_rows_t(index, rw)
+            st = backstep_from_rows_t(index, rows_t, rw)
+            mk = (_mark_rank_t(index, rows_t, rw) << 1) | _mark_bit_t(index, rows_t, rw)
+            return jnp.where(cov, stepped, st), jnp.where(cov, mark, mk)
+
+        return jax.lax.cond(jnp.all(cov), lambda: (stepped, mark), fallback)
+
+    def body(_, carry):
+        rw, steps, done = carry
+        stepped, mark = visit(rw)
+        done_now = done | ((mark & jnp.uint32(1)) == 1)
+        rw = jnp.where(done_now, rw, stepped)
+        steps = steps + jnp.where(done_now, jnp.uint32(0), jnp.uint32(1))
+        return rw, steps, done_now
+
+    steps0 = jnp.zeros_like(rows)
+    done0 = jnp.zeros(rows.shape, dtype=bool)
+    walked, steps, _ = jax.lax.fori_loop(0, index.sa_ratio - 1, body, (rows, steps0, done0))
+    _, final_mark = visit(walked)
+    sa_vals = index.text_sampled_sa[(final_mark >> 1).astype(jnp.int32)]
+    return _text_pos_mod(sa_vals, steps, index.bwt_len)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def backstep_mark_sweep(index: FmDeviceIndex, rows: jax.Array, *, interpret: bool = False):
+    """One fused marked-walk visit per row via the sorted sweep.
+
+    Returns (stepped uint32 [R], packed uint32 [R] = (mark_rank << 1) |
+    mark_bit, covered bool [R])."""
+    r = rows.shape[0]
+    val = jnp.arange(r, dtype=jnp.int32) << _VAL_SHIFT
+    spos, sval, win, covered_c, nchunks = _sorted_chunks(rows, val)
+    nwin = index.blocks_sweep.shape[0] // WINDOW_TILES
+    w = index.blocks_sweep.shape[1]
+    step_s, mark_s = pl.pallas_call(
+        _backstep_kernel(index.alphabet, index.mark_offset, index.alphabet.ambiguity_idx),
+        grid_spec=_grid_spec(nchunks, nwin, w, n_req=1, n_out=2),
+        out_shape=(
+            jax.ShapeDtypeStruct((nchunks // 8, 8, CHUNK), jnp.uint32),
+            jax.ShapeDtypeStruct((nchunks // 8, 8, CHUNK), jnp.uint32),
+        ),
+        interpret=interpret,
+    )(
+        win,
+        index.prefix_sums,
+        spos.reshape(nchunks // 8, 8, CHUNK),
+        index.blocks_sweep,
+        index.blocks_sweep,
+    )
+    cov_s = jnp.broadcast_to(covered_c[:, None], (nchunks, CHUNK)).reshape(-1)
+    stepped, mark, cov = _unsort(sval, step_s.reshape(-1), mark_s.reshape(-1), cov_s)
+    return stepped[:r], mark[:r], cov[:r]

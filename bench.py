@@ -36,11 +36,14 @@ AWRY_32T_ESTIMATE_QPS = 5.0e6
 CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
 
 CONFIGS = [
-    # name, alphabet, text_len, num_queries/batch, query_len, kmer_len, sa_ratio
+    # Mirrors BASELINE.json configs #1-#4 at the same scales (synthetic
+    # texts; no network for real genomes, no Rust for AWRY itself), plus a
+    # chr1-scale diagnostic config tracked since round 1 (BASELINE.md).
     dict(name="ecoli_4.6Mbp_dna", kind="dna", n=4_600_000, nq=131_072, qlen=30, k=10),
-    dict(name="chr20_64Mbp_dna", kind="dna", n=64_000_000, nq=131_072, qlen=30, k=12),
+    dict(name="chr20_64Mbp_dna", kind="dna", n=64_000_000, nq=131_072, qlen=30, k=13),
     dict(name="swissprot_20Mres_amino", kind="amino", n=20_000_000, nq=65_536, qlen=12, k=5),
     dict(name="chr1_250Mbp_dna", kind="dna", n=250_000_000, nq=131_072, qlen=30, k=13),
+    dict(name="grch38_3.1Gbp_dna", kind="dna", n=3_100_000_000, nq=131_072, qlen=100, k=13),
 ]
 
 NUM_BATCHES = 4

@@ -1,0 +1,119 @@
+"""Sorted-sweep engine (ops/sweep.py) vs the plain-gather rank primitives.
+
+Runs the Pallas kernels in interpreter mode on the CPU backend; the Mosaic
+compile path is exercised on real hardware by scripts/micro_gather4.py and
+the bench."""
+
+import numpy as np
+import pytest
+
+import awry_tpu.host_engine as he
+from awry_tpu import Alphabet, FmBuildArgs, build_from_records
+from awry_tpu.ops import to_device
+from awry_tpu.ops.sweep import CHUNK, backstep_mark_sweep, build_sweep_blocks, occurrence_sweep
+
+from .conftest import random_seq
+
+ALPHABETS = [Alphabet.NUCLEOTIDE, Alphabet.AMINO]
+
+
+def _dev(alphabet, rng, n=60_000):
+    seq = random_seq(alphabet, rng, n)
+    index = build_from_records(
+        [("sweep", seq)], FmBuildArgs(alphabet=alphabet, lookup_table_kmer_len=2)
+    )
+    return index, to_device(index, build_sweep=True)
+
+
+def test_sweep_layout_round_trip(rng):
+    """blocks_sweep[t, w, j] == blocks[t*128 + j, w], zero-padded tiles."""
+    blocks = rng.integers(0, 2**32, size=(1000, 40), dtype=np.uint64).astype(np.uint32)
+    sw = build_sweep_blocks(blocks)
+    assert sw.shape[0] % 16 == 0 and sw.shape[1:] == (40, 128)
+    for t, w, j in [(0, 0, 0), (3, 17, 127), (7, 39, 103)]:
+        assert sw[t, w, j] == blocks[t * 128 + j, w]
+    assert (sw[8:] == 0).all()  # blocks 1000.. are padding
+
+
+@pytest.mark.parametrize("alphabet", ALPHABETS)
+def test_occurrence_sweep_matches_host(alphabet, rng):
+    import jax.numpy as jnp
+
+    index, dev = _dev(alphabet, rng)
+    r = 1000  # non-multiple of CHUNK exercises padding
+    pos = rng.integers(0, index.bwt_len, size=r).astype(np.uint32)
+    sym = rng.integers(1, alphabet.cardinality, size=r).astype(np.int32)
+    occ, cov = occurrence_sweep(dev, jnp.asarray(pos), jnp.asarray(sym), interpret=True)
+    occ, cov = np.asarray(occ), np.asarray(cov)
+    host = he.occurrence(index, pos.astype(np.int64), sym.astype(np.int64))
+    assert cov.all()  # dense batch on a small index: everything covered
+    np.testing.assert_array_equal(occ.astype(np.int64), host.astype(np.int64))
+
+
+def test_occurrence_sweep_flags_uncovered(rng):
+    """A sparse batch spanning far more blocks than two windows flags the
+    uncovered lanes instead of silently mis-serving them."""
+    import jax.numpy as jnp
+
+    index, dev = _dev(Alphabet.NUCLEOTIDE, rng, n=3_000_000)
+    # CHUNK requests spread over the whole index: one chunk spans ~11.7k
+    # blocks, far beyond the 2 * 1024-block windows.
+    pos = np.linspace(0, index.bwt_len - 1, CHUNK).astype(np.uint32)
+    sym = np.ones(CHUNK, dtype=np.int32)
+    occ, cov = occurrence_sweep(dev, jnp.asarray(pos), jnp.asarray(sym), interpret=True)
+    cov = np.asarray(cov)
+    assert not cov.all()
+    host = he.occurrence(index, pos.astype(np.int64), sym.astype(np.int64))
+    got = np.asarray(occ).astype(np.int64)
+    np.testing.assert_array_equal(got[cov], host[cov.astype(bool)].astype(np.int64))
+
+
+@pytest.mark.parametrize("alphabet", ALPHABETS)
+def test_backstep_mark_sweep_matches_host(alphabet, rng):
+    import jax.numpy as jnp
+
+    from awry_tpu.ops.locate import _mark_bit_t, _mark_rank_t
+    from awry_tpu.ops.rank import fetch_rows_t
+
+    index, dev = _dev(alphabet, rng)
+    r = 800
+    rows = rng.integers(0, index.bwt_len, size=r).astype(np.uint32)
+    stepped, mark, cov = backstep_mark_sweep(dev, jnp.asarray(rows), interpret=True)
+    stepped, mark, cov = (np.asarray(x) for x in (stepped, mark, cov))
+    assert cov.all()
+    host_stepped = he.backstep(index, rows.astype(np.int64))
+    np.testing.assert_array_equal(stepped.astype(np.int64), host_stepped)
+    rows_t = fetch_rows_t(dev, jnp.asarray(rows))
+    np.testing.assert_array_equal(
+        mark & 1, np.asarray(_mark_bit_t(dev, rows_t, jnp.asarray(rows)))
+    )
+    np.testing.assert_array_equal(
+        mark >> 1, np.asarray(_mark_rank_t(dev, rows_t, jnp.asarray(rows)))
+    )
+
+
+def test_engine_with_sweep_end_to_end(rng):
+    """Full FmQueryEngine with the sweep hot path enabled (interpret mode on
+    CPU) agrees with the plain engine and the host oracle on count+locate."""
+    from awry_tpu.ops import FmQueryEngine
+
+    index2_seq = random_seq(Alphabet.NUCLEOTIDE, rng, 50_000)
+    index2 = build_from_records(
+        [("sweep2", index2_seq)], FmBuildArgs(lookup_table_kmer_len=4)
+    )
+    sweep_eng = FmQueryEngine(index2, use_sweep=True)
+    plain_eng = FmQueryEngine(index2, use_sweep=False)
+    assert sweep_eng.device_index.blocks_sweep is not None
+    assert plain_eng.device_index.blocks_sweep is None
+    queries = [index2_seq[s : s + 20] for s in rng.integers(0, 49_000, size=200)]
+    queries += [b"ACGTACGTACGTACGTACGT", b"TTT", b""]
+    np.testing.assert_array_equal(
+        sweep_eng.count_batch(queries), plain_eng.count_batch(queries)
+    )
+    c1, s1, l1, o1 = sweep_eng.count_locate_arrays(queries, cap=4)
+    c2, s2, l2, o2 = plain_eng.count_locate_arrays(queries, cap=4)
+    np.testing.assert_array_equal(c1, c2)
+    np.testing.assert_array_equal(o1, o2)
+    np.testing.assert_array_equal(s1, s2)
+    np.testing.assert_array_equal(l1, l2)
+    assert he.count(index2, queries[0]) == int(c1[0])
