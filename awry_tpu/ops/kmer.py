@@ -4,16 +4,23 @@ The reference builds its table by a depth-first recursion of scalar range
 updates (kmer_lookup_table.rs:121-167).  The TPU-native shape is k
 breadth-wise rounds (SURVEY.md section 7 step 6): round `level` extends all
 base**level prefixes by every encoding symbol in ONE vectorized
-update_range over the whole next level - for the default nucleotide k=10
-that is 10 launches totalling ~1.4M range updates, and k=13 (the chr20
-benchmark config) stays practical: ~89M updates at VMEM-resident rank
-throughput.
+update_range over the whole next level.
 
 Addressing matches the host builder exactly (host_engine._kmer_address):
 address = sum dense(symbol at distance j from the k-mer end) * base**j.
+
+Compile discipline: remote TPU compiles are expensive (minutes each via the
+tunnel), so the whole build uses ONE fixed-shape jitted step - the level
+tables live in two ping-pong device buffers of base**k entries, every level
+runs as fixed-size chunks over them with the level size as a TRACED scalar,
+and buffers are donated so updates are in place.  (The previous shape-per-
+level structure compiled ~k distinct programs: most of a deep build's wall
+clock was serialized remote compiles, not device compute.)
 """
 
 from __future__ import annotations
+
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -36,19 +43,20 @@ def _seed_level(index: FmDeviceIndex, syms: jax.Array):
 _LEVEL_CHUNK = 1 << 21
 
 
-_extend_small = jax.jit(update_range)  # module-level: trace cache survives across builds
-
-
-def _extend_chunk_fn(size: int, base: int):
-    @jax.jit
-    def fn(index: FmDeviceIndex, prev_starts, prev_ends, syms, off):
-        n = min(_LEVEL_CHUNK, size * base)
-        idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0] + off
-        d = idx // np.int32(size)
-        old = idx % np.int32(size)
-        return update_range(index, prev_starts[old], prev_ends[old], syms[d])
-
-    return fn
+@functools.partial(jax.jit, donate_argnames=("dst_s", "dst_e"), static_argnames=("chunk",))
+def _extend_step(index: FmDeviceIndex, src_s, src_e, dst_s, dst_e, syms, size, off, *, chunk):
+    """One chunk of one level: dst[off + i] = update(src[(off+i) % size],
+    sym[(off+i) // size]) for i < chunk.  `size`/`off` are traced scalars, so
+    every chunk of every level reuses this single compiled program.  Lanes
+    past the level's end compute with clamped indices and are overwritten by
+    later levels / ignored past base**k."""
+    idx = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)[:, 0] + off
+    d = jnp.minimum(idx // size, syms.shape[0] - 1)
+    old = idx % size
+    ns, ne = update_range(index, src_s[old], src_e[old], syms[d])
+    dst_s = jax.lax.dynamic_update_slice(dst_s, ns, (off,))
+    dst_e = jax.lax.dynamic_update_slice(dst_e, ne, (off,))
+    return dst_s, dst_e
 
 
 def populate_kmer_table_device(index: FmDeviceIndex, kmer_len: int | None = None) -> np.ndarray:
@@ -65,32 +73,40 @@ def populate_kmer_table_device(index: FmDeviceIndex, kmer_len: int | None = None
     raw_syms = dense_to_index_table(alphabet).astype(np.int32)  # dense rank -> raw index
     syms = jnp.asarray(raw_syms)
 
-    starts, ends = _seed_level(index, syms)
-    level = 1
-    while level < k:
-        size = base**level
-        new_size = size * base
-        # Prepend symbol d (dense rank): new_addr = d * base**level + old_addr.
-        if new_size <= _LEVEL_CHUNK:
-            rep_syms = jnp.repeat(syms, size)
-            tile_starts = jnp.tile(starts, base)
-            tile_ends = jnp.tile(ends, base)
-            starts, ends = _extend_small(index, tile_starts, tile_ends, rep_syms)
-        else:
-            fn = _extend_chunk_fn(size, base)
-            out_s, out_e = [], []
-            for off in range(0, new_size, _LEVEL_CHUNK):
-                cs, ce = fn(index, starts, ends, syms, np.int32(off))
-                out_s.append(cs)
-                out_e.append(ce)
-            # The final chunk may run past new_size (lanes compute with
-            # clamped symbol indices and are discarded here).
-            starts = jnp.concatenate(out_s)[:new_size]
-            ends = jnp.concatenate(out_e)[:new_size]
-        level += 1
+    total = base**k
+    # The chunk must DIVIDE every chunked level's size: dynamic_update_slice
+    # clamps out-of-range starts, so a non-dividing final chunk would write at
+    # a wrong (clamped) offset.  Halving from `total` keeps divisibility for
+    # every real alphabet (4^k and 20^k are 2-smooth enough).
+    chunk = total
+    while chunk > _LEVEL_CHUNK and chunk % 2 == 0:
+        chunk //= 2
+    s0, e0 = _seed_level(index, syms)
+    if k == 1:
+        starts = np.asarray(s0).astype(np.int64)
+        ends = np.asarray(e0).astype(np.int64)
+    else:
+        # Ping-pong level buffers (reads at [0, size) must not alias the
+        # chunk writes at [0, size*base), since new_addr == old_addr at d=0).
+        buf_a_s = jnp.zeros((total,), dtype=jnp.uint32).at[:base].set(s0)
+        buf_a_e = jnp.zeros((total,), dtype=jnp.uint32).at[:base].set(e0)
+        buf_b_s = jnp.zeros((total,), dtype=jnp.uint32)
+        buf_b_e = jnp.zeros((total,), dtype=jnp.uint32)
+        src_s, src_e, dst_s, dst_e = buf_a_s, buf_a_e, buf_b_s, buf_b_e
+        size = base
+        for _level in range(1, k):
+            new_size = size * base
+            assert new_size <= chunk or new_size % chunk == 0, (new_size, chunk)
+            for off in range(0, new_size, chunk):
+                dst_s, dst_e = _extend_step(
+                    index, src_s, src_e, dst_s, dst_e, syms,
+                    jnp.int32(size), jnp.int32(off), chunk=chunk,
+                )
+            src_s, src_e, dst_s, dst_e = dst_s, dst_e, src_s, src_e
+            size = new_size
+        starts = np.asarray(src_s).astype(np.int64)
+        ends = np.asarray(src_e).astype(np.int64)
 
-    starts = np.asarray(starts).astype(np.int64)
-    ends = np.asarray(ends).astype(np.int64)
     table = np.stack(
         [np.maximum(starts, 0).astype(np.uint64), np.maximum(ends, 0).astype(np.uint64)],
         axis=1,
