@@ -37,6 +37,24 @@ from ..alphabet import Alphabet, normalize_text
 from ..index import FmBuildArgs, FmIndexData
 
 
+def _build_partition_worker(task):
+    """Build one partition in a SPAWNED worker (NumPy/C++ only - no JAX;
+    forking a JAX-threaded parent deadlocks) and hand it back as an
+    uncompressed artifact file.  The multi-GB global text travels via a
+    shared temp file, not pickling: each worker reads only its slice."""
+    gi, text_path, g_start, end_with_overlap, args, tmpdir = task
+    from ..build.builder import build_from_records
+    from ..io.artifact import save_artifact
+
+    with open(text_path, "rb") as f:
+        f.seek(g_start)
+        text = f.read(end_with_overlap - g_start)
+    index = build_from_records([(f"partition_{gi}", text)], args)
+    path = f"{tmpdir}/part_{gi}.npz"
+    save_artifact(index, path, compress=False)
+    return gi, path
+
+
 @dataclasses.dataclass
 class _Partition:
     index: FmIndexData
@@ -65,10 +83,17 @@ class PartitionedFmIndex:
         *,
         max_partition_symbols: int,
         max_query_len: int,
+        num_workers: int = 1,
     ):
         """Split records into <= max_partition_symbols partitions and build
         each with the given FmBuildArgs (alphabet/ratio/kmer knobs apply to
-        every partition)."""
+        every partition).
+
+        ``num_workers > 1`` builds partitions in parallel fork()ed worker
+        processes (pan-genome-scale corpora: each partition's SA-IS is an
+        independent ~10-minute single-thread job).  Workers are NumPy/C++
+        only - they must not touch JAX - and hand indexes back as
+        uncompressed artifacts on disk."""
         from ..build.builder import build_from_records
 
         if max_query_len < 1:
@@ -111,31 +136,68 @@ class PartitionedFmIndex:
         del seqs  # global_text supersedes it; drop one corpus-sized copy
 
         overlap = max_query_len - 1
-        partitions: list[_Partition] = []
+        from ..alphabet import encode_ascii
+
+        spans = []  # (gi, g_start, g_end, owned_len)
         for gi, group in enumerate(groups):
             g_start = int(seq_starts[group[0]])
             g_end = (
                 int(seq_starts[groups[gi + 1][0]]) if gi + 1 < len(groups) else len(global_text)
             )
-            owned_len = g_end - g_start
-            text = global_text[g_start : min(g_end + overlap, len(global_text))]
-            if len(text) + 1 >= 2**32:
+            text_len = min(g_end + overlap, len(global_text)) - g_start
+            if text_len + 1 >= 2**32:
                 raise ValueError(
-                    f"partition {gi} is {len(text)} symbols - beyond the uint32 "
+                    f"partition {gi} is {text_len} symbols - beyond the uint32 "
                     "position space; lower max_partition_symbols (a single "
                     "record larger than the cap forms its own partition)"
                 )
-            index = build_from_records([(f"partition_{gi}", text)], part_args)
+            spans.append((gi, g_start, g_end, g_end - g_start))
+
+        def part_text(gi, g_start, g_end):
+            return global_text[g_start : min(g_end + overlap, len(global_text))]
+
+        indexes: dict[int, FmIndexData] = {}
+        if num_workers > 1 and len(spans) > 1:
+            import multiprocessing as mp
+            import tempfile
+            from concurrent.futures import ProcessPoolExecutor
+
+            from ..io.artifact import load_artifact
+
+            # Workers must stay JAX-free: force the host k-mer build there
+            # (the device build can be re-run on the loaded index if needed).
+            worker_args = dataclasses.replace(part_args, build_kmer_table_on_device=False)
+            with tempfile.TemporaryDirectory() as tmpdir:
+                text_path = f"{tmpdir}/global_text.bin"
+                with open(text_path, "wb") as f:
+                    f.write(global_text)
+                tasks = [
+                    (gi, text_path, s, min(e + overlap, len(global_text)), worker_args, tmpdir)
+                    for gi, s, e, _ in spans
+                ]
+                with ProcessPoolExecutor(
+                    max_workers=num_workers, mp_context=mp.get_context("spawn")
+                ) as pool:
+                    for gi, path in pool.map(_build_partition_worker, tasks):
+                        indexes[gi] = load_artifact(path)
+        else:
+            for gi, g_start, g_end, _ in spans:
+                indexes[gi] = build_from_records(
+                    [(f"partition_{gi}", part_text(gi, g_start, g_end))], part_args
+                )
+
+        partitions: list[_Partition] = []
+        for gi, g_start, g_end, owned_len in spans:
+            text = part_text(gi, g_start, g_end)
             # The overlap tail is <= max_query_len-1 symbols: counting
             # queries in it is a direct (vectorized) substring scan over the
             # encoded tail, exactly equal to an FM count on the tail text -
             # no micro-index needed.
-            from ..alphabet import encode_ascii
-
             tail_text = text[owned_len:]
             tail_syms = encode_ascii(alphabet, tail_text) if tail_text else None
             partitions.append(
-                _Partition(index=index, tail_syms=tail_syms, global_start=g_start, owned_len=owned_len)
+                _Partition(index=indexes[gi], tail_syms=tail_syms,
+                           global_start=g_start, owned_len=owned_len)
             )
         return cls(partitions, seq_starts, headers, alphabet, max_query_len)
 

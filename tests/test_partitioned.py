@@ -130,3 +130,27 @@ def test_partitions_spread_across_devices(rng):
     part.count_batch([b"ACGT"], use_device=True)
     devs = {p.engine.device_index.blocks.device for p in part.partitions if p.engine}
     assert len(devs) == min(len(part.partitions), len(jax.devices()))
+
+
+def test_partitioned_parallel_build_matches_serial(rng):
+    """num_workers>1 (forked partition builds) produces the same federation
+    as the serial path."""
+    records = _records(rng, n=6, lo=40, hi=90)
+    args = FmBuildArgs(lookup_table_kmer_len=2)
+    serial = PartitionedFmIndex.build_from_records(
+        records, args, max_partition_symbols=150, max_query_len=10
+    )
+    parallel = PartitionedFmIndex.build_from_records(
+        records, args, max_partition_symbols=150, max_query_len=10, num_workers=3
+    )
+    assert len(parallel.partitions) == len(serial.partitions)
+    for ps, pp in zip(serial.partitions, parallel.partitions):
+        np.testing.assert_array_equal(ps.index.sampled_sa, pp.index.sampled_sa)
+        np.testing.assert_array_equal(ps.index.planes, pp.index.planes)
+        assert ps.global_start == pp.global_start and ps.owned_len == pp.owned_len
+    text = b"N".join(s for _, s in records)
+    queries = [text[s : s + 8] for s in rng.integers(0, len(text) - 8, size=12)]
+    np.testing.assert_array_equal(
+        serial.count_batch(queries, use_device=False),
+        parallel.count_batch(queries, use_device=False),
+    )
