@@ -104,11 +104,17 @@ def search_ranges(index: FmDeviceIndex, qsyms: jax.Array, qlens: jax.Array, *, u
     def body(i, carry):
         starts, ends = carry
         active = (i >= steps_done) & (i < qlens) & (starts <= ends)
-        sym = jax.lax.dynamic_index_in_dim(qt, L - 1 - i, axis=0, keepdims=False)
-        new_starts, new_ends = update_fn(starts, ends, sym)
-        starts = jnp.where(active, new_starts, starts)
-        ends = jnp.where(active, new_ends, ends)
-        return starts, ends
+
+        def do_step():
+            sym = jax.lax.dynamic_index_in_dim(qt, L - 1 - i, axis=0, keepdims=False)
+            new_starts, new_ends = update_fn(starts, ends, sym)
+            return (jnp.where(active, new_starts, starts),
+                    jnp.where(active, new_ends, ends))
+
+        # Steps where NO lane is live (everything seeded past i, exhausted,
+        # or empty) skip the rank work entirely - with k-mer seeding the
+        # first k-1 loop steps are all skipped this way.
+        return jax.lax.cond(jnp.any(active), do_step, lambda: (starts, ends))
 
     if L > 1:
         s0, e0 = jax.lax.fori_loop(1, L, body, (s0, e0))
