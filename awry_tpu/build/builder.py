@@ -129,9 +129,12 @@ def build_from_sequence_data(seq_data: SequenceData, args: FmBuildArgs) -> FmInd
     sampled_sa = sa[::sa_ratio].astype(np.uint64)  # sampling by BWT row (csa.rs:109-111)
 
     # Text-order sampling marks (device locate fast path; index.py docstring).
+    # Mark density is a locate-speed knob independent of the .awry sa_ratio:
+    # the device walk is bounded at mark_ratio - 1 visits.
+    mark_ratio = args.resolved_mark_ratio()
     num_blocks = planes.shape[0]
     marked = np.zeros(num_blocks * SYMBOLS_PER_BLOCK, dtype=np.uint8)
-    marked[: sa.shape[0]] = (sa % sa_ratio) == 0
+    marked[: sa.shape[0]] = (sa % mark_ratio) == 0
     mark_bits = np.packbits(marked, bitorder="little").view("<u4").reshape(num_blocks, 8)
     per_block_marked = marked.reshape(num_blocks, SYMBOLS_PER_BLOCK).sum(axis=1, dtype=np.uint32)
     mark_milestones = np.zeros(num_blocks, dtype=np.uint32)
@@ -155,6 +158,7 @@ def build_from_sequence_data(seq_data: SequenceData, args: FmBuildArgs) -> FmInd
         mark_bits=mark_bits,
         mark_milestones=mark_milestones,
         text_sampled_sa=text_sampled_sa,
+        mark_ratio=mark_ratio,
     )
     if args.build_kmer_table_on_device:
         from ..ops.device_index import to_device

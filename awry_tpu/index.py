@@ -56,9 +56,22 @@ class FmBuildArgs:
     max_query_len: int | None = None  # accepted for parity; full-depth sort is always used
     remove_intermediate_suffix_array_file: bool = False  # fm_index.rs:263-265
     build_kmer_table_on_device: bool = False  # breadth-wise device build (ops/kmer.py)
+    # TPU locate knob: density of the text-order sampling marks that bound
+    # the device LF-walk (mark_ratio - 1 visits).  Independent of the .awry
+    # row-sampled array (sa_ratio, format parity); denser marks trade
+    # text_sampled_sa memory (4 B per marked position on device) for a
+    # proportionally shorter locate walk.  None -> min(4, sa_ratio).
+    locate_mark_ratio: int | None = None
 
     def resolved_sa_ratio(self) -> int:
         return self.suffix_array_compression_ratio or 8
+
+    def resolved_mark_ratio(self) -> int:
+        if self.locate_mark_ratio is not None:
+            if self.locate_mark_ratio < 1:
+                raise ValueError("locate_mark_ratio must be >= 1")
+            return self.locate_mark_ratio
+        return min(4, self.resolved_sa_ratio())
 
     def resolved_kmer_len(self) -> int:
         """None -> alphabet default (10/4); explicit 0 disables the table."""
@@ -96,6 +109,15 @@ class FmIndexData:
     mark_bits: np.ndarray | None = None  # uint32 [num_blocks, 8]
     mark_milestones: np.ndarray | None = None  # uint32 [num_blocks]
     text_sampled_sa: np.ndarray | None = None  # uint64 [num marked rows]
+    # Mark density: text positions that are multiples of mark_ratio are
+    # marked (walk bound = mark_ratio - 1 steps).  Decoupled from sa_ratio
+    # (the .awry row-sampling ratio); 0 means "legacy: equal to sa_ratio"
+    # so v2 artifacts load unchanged.
+    mark_ratio: int = 0
+
+    @property
+    def resolved_mark_ratio(self) -> int:
+        return self.mark_ratio or self.sa_ratio
 
     @property
     def has_marks(self) -> bool:

@@ -17,7 +17,7 @@ import numpy as np
 from ..alphabet import Alphabet
 from ..index import FmIndexData
 
-ARTIFACT_VERSION = 2  # v2 adds text-sampling mark arrays (v1 loads with marks=None)
+ARTIFACT_VERSION = 3  # v3 adds mark_ratio; v2 added mark arrays (v1 loads with marks=None)
 
 
 def save_artifact(index: FmIndexData, path: str, *, compress: bool = True) -> None:
@@ -32,6 +32,7 @@ def save_artifact(index: FmIndexData, path: str, *, compress: bool = True) -> No
         "kmer_len": index.kmer_len,
         "headers": index.headers,
         "has_marks": index.has_marks,
+        "mark_ratio": index.mark_ratio,
     }
     arrays = dict(
         meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
@@ -56,7 +57,7 @@ def load_artifact(path: str, *, strict: bool = False) -> FmIndexData:
     corruption checks (FmIndexData.validate strict mode) before returning."""
     with np.load(path) as z:
         meta = json.loads(bytes(z["meta"]).decode())
-        if meta["artifact_version"] not in (1, ARTIFACT_VERSION):
+        if meta["artifact_version"] not in (1, 2, ARTIFACT_VERSION):
             raise ValueError(f"unsupported artifact version {meta['artifact_version']}")
         has_marks = bool(meta.get("has_marks")) and "mark_bits" in z
         index = FmIndexData(
@@ -75,6 +76,8 @@ def load_artifact(path: str, *, strict: bool = False) -> FmIndexData:
             mark_bits=z["mark_bits"] if has_marks else None,
             mark_milestones=z["mark_milestones"] if has_marks else None,
             text_sampled_sa=z["text_sampled_sa"] if has_marks else None,
+            # v1/v2 artifacts predate the knob: marks were built at sa_ratio.
+            mark_ratio=int(meta.get("mark_ratio", 0)),
         )
     index.validate(strict=strict)
     return index

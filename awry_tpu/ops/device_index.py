@@ -45,7 +45,7 @@ def mark_words_offset(alphabet: Alphabet) -> int:
 @partial(jax.tree_util.register_dataclass, data_fields=[
     "blocks", "prefix_sums", "sampled_sa", "text_sampled_sa", "kmer_table", "seq_starts",
     "index_to_code", "code_to_index", "index_to_dense", "blocks_sweep",
-], meta_fields=["alphabet", "sa_ratio", "bwt_len", "kmer_len", "has_marks"])
+], meta_fields=["alphabet", "sa_ratio", "bwt_len", "kmer_len", "has_marks", "mark_ratio"])
 @dataclasses.dataclass(frozen=True)
 class FmDeviceIndex:
     """jnp mirror of FmIndexData plus the small codec LUTs the kernels need.
@@ -73,6 +73,9 @@ class FmDeviceIndex:
     bwt_len: int
     kmer_len: int
     has_marks: bool
+    # Text-order mark density: the locate walk is bounded at mark_ratio - 1
+    # visits (equals sa_ratio on legacy indexes; see FmIndexData.mark_ratio).
+    mark_ratio: int = 8
     # Sweep-engine layout (ops/sweep.py): the same fused rows transposed per
     # 128-block tile, [num_tiles_padded, row_words, 128].  Costs a second
     # copy of the block payload in HBM; built only when the sorted-sweep hot
@@ -157,4 +160,5 @@ def to_device(index: FmIndexData, *, sharding=None, device=None, build_sweep: bo
         bwt_len=index.bwt_len,
         kmer_len=index.kmer_len,
         has_marks=index.has_marks,
+        mark_ratio=index.resolved_mark_ratio,
     )

@@ -81,9 +81,12 @@ class FmQueryEngine:
             if strict:
                 index.validate(strict=True)
             if use_sweep is None:
+                # Sweep wins whenever the block payload exceeds VMEM scale
+                # (plain gathers turn issue-bound at ~25M rows/s; the sweep
+                # streams sorted windows instead - ops/sweep.py).
                 use_sweep = (
                     index.has_marks
-                    and index.planes.nbytes >= 64 * 1024 * 1024
+                    and index.planes.nbytes >= 8 * 1024 * 1024
                     and jax.default_backend() == "tpu"
                 )
             self.device_index = to_device(index, build_sweep=use_sweep)

@@ -86,9 +86,9 @@ def _marked_walk(index: FmDeviceIndex, rows: jax.Array) -> jax.Array:
 
     steps0 = jnp.zeros_like(rows)
     done0 = jnp.zeros(rows.shape, dtype=bool)
-    # A marked row is reached within sa_ratio - 1 steps (text positions
-    # decrement by one per step and every sa_ratio-th position is marked).
-    walked, steps, _ = jax.lax.fori_loop(0, index.sa_ratio - 1, body, (rows, steps0, done0))
+    # A marked row is reached within mark_ratio - 1 steps (text positions
+    # decrement by one per step and every mark_ratio-th position is marked).
+    walked, steps, _ = jax.lax.fori_loop(0, index.mark_ratio - 1, body, (rows, steps0, done0))
 
     final_rows_t = fetch_rows_t(index, walked)
     idx = _mark_rank_t(index, final_rows_t, walked).astype(jnp.int32)

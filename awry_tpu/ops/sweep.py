@@ -328,39 +328,87 @@ def sweep_update_range(index: FmDeviceIndex, starts, ends, sym):
     return c + occ[:b], c + occ[b:] - jnp.uint32(1)
 
 
-def marked_walk_sweep(index: FmDeviceIndex, rows: jax.Array) -> jax.Array:
-    """Marked LF-walk (ops/locate.py._marked_walk semantics) with every row
-    visit served by the fused sweep backstep kernel; returns text positions."""
-    from .locate import _mark_bit_t, _mark_rank_t, _text_pos_mod
+def _sweep_visit(index: FmDeviceIndex, pos: jax.Array, pay: jax.Array, interp: bool):
+    """One sorted-domain walk visit: sort (pos, pay) by pos, run the fused
+    backstep/mark kernel on the sorted stream, fall back to the plain-gather
+    path for the (rare) uncovered case.  Returns everything in SORTED order -
+    callers carry (spos, spay) forward instead of unsorting, which is the
+    point: one sort per visit instead of sort + 3 unsorts."""
+    from .locate import _mark_bit_t, _mark_rank_t
     from .rank import backstep_from_rows_t, fetch_rows_t
 
+    npad = pos.shape[0]
+    nchunks = npad // CHUNK
+    nwin = index.blocks_sweep.shape[0] // WINDOW_TILES
+    w = index.blocks_sweep.shape[1]
+    spos, spay = jax.lax.sort_key_val(pos, pay)
+    first_blk = (spos[::CHUNK] >> 8).astype(jnp.int32)
+    last_blk = (spos[CHUNK - 1 :: CHUNK] >> 8).astype(jnp.int32)
+    win = first_blk // (WINDOW_TILES * CHUNK)
+    covered_c = (last_blk - win * (WINDOW_TILES * CHUNK)) < 2 * WINDOW_TILES * CHUNK
+    step_s, mark_s = pl.pallas_call(
+        _backstep_kernel(index.alphabet, index.mark_offset, index.alphabet.ambiguity_idx),
+        grid_spec=_grid_spec(nchunks, nwin, w, n_req=1, n_out=2),
+        out_shape=(
+            jax.ShapeDtypeStruct((nchunks // 8, 8, CHUNK), jnp.uint32),
+            jax.ShapeDtypeStruct((nchunks // 8, 8, CHUNK), jnp.uint32),
+        ),
+        interpret=interp,
+    )(win, index.prefix_sums, spos.reshape(nchunks // 8, 8, CHUNK),
+      index.blocks_sweep, index.blocks_sweep)
+    stepped, mark = step_s.reshape(-1), mark_s.reshape(-1)
+
+    def fallback():
+        cov = jnp.broadcast_to(covered_c[:, None], (nchunks, CHUNK)).reshape(-1)
+        rows_t = fetch_rows_t(index, spos)
+        st = backstep_from_rows_t(index, rows_t, spos)
+        mk = (_mark_rank_t(index, rows_t, spos) << 1) | _mark_bit_t(index, rows_t, spos)
+        return jnp.where(cov, stepped, st), jnp.where(cov, mark, mk)
+
+    stepped, mark = jax.lax.cond(jnp.all(covered_c), lambda: (stepped, mark), fallback)
+    return spos, spay, stepped, mark
+
+
+def marked_walk_sweep(index: FmDeviceIndex, rows: jax.Array) -> jax.Array:
+    """Marked LF-walk (ops/locate.py._marked_walk semantics) with every row
+    visit served by the fused sweep backstep kernel; returns text positions.
+
+    The whole walk runs in the sorted-request domain: each visit re-sorts by
+    the current row (positions scatter after an LF step), while the original
+    request id plus the per-lane (steps, done) state ride in the sort payload
+    - so the per-visit cost is ONE sort + one kernel, and the request order
+    is restored by a single unsort at the very end."""
+    from .locate import _text_pos_mod
+
     interp = _auto_interpret()
-
-    def visit(rw):
-        stepped, mark, cov = backstep_mark_sweep(index, rw, interpret=interp)
-
-        def fallback():
-            rows_t = fetch_rows_t(index, rw)
-            st = backstep_from_rows_t(index, rows_t, rw)
-            mk = (_mark_rank_t(index, rows_t, rw) << 1) | _mark_bit_t(index, rows_t, rw)
-            return jnp.where(cov, stepped, st), jnp.where(cov, mark, mk)
-
-        return jax.lax.cond(jnp.all(cov), lambda: (stepped, mark), fallback)
+    r = rows.shape[0]
+    nchunks = (-(-r // CHUNK) + 7) // 8 * 8
+    npad = nchunks * CHUNK
+    # Payload: (orig id << shift) | (steps << 1) | done.
+    shift = max(2, (index.mark_ratio - 1).bit_length() + 1)
+    steps_mask = (1 << shift) - 2  # bits [1, shift)
+    idx = jnp.arange(npad, dtype=jnp.int32)
+    pos = jnp.where(idx < r, _pad_to(rows, npad), rows[r - 1])
+    pay = idx << shift
 
     def body(_, carry):
-        rw, steps, done = carry
-        stepped, mark = visit(rw)
-        done_now = done | ((mark & jnp.uint32(1)) == 1)
-        rw = jnp.where(done_now, rw, stepped)
-        steps = steps + jnp.where(done_now, jnp.uint32(0), jnp.uint32(1))
-        return rw, steps, done_now
+        pos, pay = carry
+        spos, spay, stepped, mark = _sweep_visit(index, pos, pay, interp)
+        was_done = (spay & 1) == 1
+        done = was_done | ((mark & jnp.uint32(1)) == 1)
+        new_pos = jnp.where(done, spos, stepped)
+        new_pay = spay + jnp.where(was_done, 0, jnp.where(done, 1, 2))
+        return new_pos, new_pay
 
-    steps0 = jnp.zeros_like(rows)
-    done0 = jnp.zeros(rows.shape, dtype=bool)
-    walked, steps, _ = jax.lax.fori_loop(0, index.sa_ratio - 1, body, (rows, steps0, done0))
-    _, final_mark = visit(walked)
-    sa_vals = index.text_sampled_sa[(final_mark >> 1).astype(jnp.int32)]
-    return _text_pos_mod(sa_vals, steps, index.bwt_len)
+    pos, pay = jax.lax.fori_loop(0, index.mark_ratio - 1, body, (pos, pay))
+    # Final visit: the current row is marked (or the walk hit its bound);
+    # its mark_rank indexes text_sampled_sa directly.
+    spos, spay, _stepped, mark = _sweep_visit(index, pos, pay, interp)
+    sa_vals = index.text_sampled_sa[(mark >> 1).astype(jnp.int32)]
+    steps = ((spay & steps_mask) >> 1).astype(jnp.uint32)
+    text_pos = _text_pos_mod(sa_vals, steps, index.bwt_len)
+    _, out = jax.lax.sort_key_val(spay, text_pos)
+    return out[:r]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

@@ -39,11 +39,14 @@ CONFIGS = [
     # Mirrors BASELINE.json configs #1-#4 at the same scales (synthetic
     # texts; no network for real genomes, no Rust for AWRY itself), plus a
     # chr1-scale diagnostic config tracked since round 1 (BASELINE.md).
-    dict(name="ecoli_4.6Mbp_dna", kind="dna", n=4_600_000, nq=131_072, qlen=30, k=10),
-    dict(name="chr20_64Mbp_dna", kind="dna", n=64_000_000, nq=131_072, qlen=30, k=13),
-    dict(name="swissprot_20Mres_amino", kind="amino", n=20_000_000, nq=65_536, qlen=12, k=5),
-    dict(name="chr1_250Mbp_dna", kind="dna", n=250_000_000, nq=131_072, qlen=30, k=13),
-    dict(name="grch38_3.1Gbp_dna", kind="dna", n=3_100_000_000, nq=131_072, qlen=100, k=13),
+    # "mark" = locate_mark_ratio: text-order mark density bounding the device
+    # LF-walk at mark-1 visits (4 B HBM per marked position; denser = faster
+    # locate).  Small indexes afford mark=1 (zero-step walk).
+    dict(name="ecoli_4.6Mbp_dna", kind="dna", n=4_600_000, nq=131_072, qlen=30, k=10, mark=1),
+    dict(name="chr20_64Mbp_dna", kind="dna", n=64_000_000, nq=131_072, qlen=30, k=13, mark=2),
+    dict(name="swissprot_20Mres_amino", kind="amino", n=20_000_000, nq=65_536, qlen=12, k=5, mark=2),
+    dict(name="chr1_250Mbp_dna", kind="dna", n=250_000_000, nq=131_072, qlen=30, k=13, mark=2),
+    dict(name="grch38_3.1Gbp_dna", kind="dna", n=3_100_000_000, nq=131_072, qlen=100, k=13, mark=4),
 ]
 
 NUM_BATCHES = 4
@@ -74,9 +77,10 @@ def build_or_load(cfg, seq: bytes):
         t0 = time.perf_counter()
         index = load_artifact(cache)
         log(f"[{cfg['name']}] loaded cached index in {time.perf_counter()-t0:.1f}s")
-        if index.kmer_len == cfg["k"]:
+        if index.kmer_len == cfg["k"] and index.resolved_mark_ratio == cfg["mark"]:
             return index, None
-        log(f"[{cfg['name']}] cached kmer_len {index.kmer_len} != {cfg['k']}; rebuilding")
+        log(f"[{cfg['name']}] cached kmer_len/mark_ratio "
+            f"{index.kmer_len}/{index.resolved_mark_ratio} != {cfg['k']}/{cfg['mark']}; rebuilding")
     alphabet = Alphabet.NUCLEOTIDE if cfg["kind"] == "dna" else Alphabet.AMINO
     t0 = time.perf_counter()
     index = build_from_records(
@@ -86,6 +90,7 @@ def build_or_load(cfg, seq: bytes):
             suffix_array_compression_ratio=SA_RATIO,
             lookup_table_kmer_len=cfg["k"],
             build_kmer_table_on_device=cfg["k"] >= 12,
+            locate_mark_ratio=cfg["mark"],
         ),
     )
     build_s = time.perf_counter() - t0

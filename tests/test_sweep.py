@@ -117,3 +117,37 @@ def test_engine_with_sweep_end_to_end(rng):
     np.testing.assert_array_equal(s1, s2)
     np.testing.assert_array_equal(l1, l2)
     assert he.count(index2, queries[0]) == int(c1[0])
+
+
+@pytest.mark.parametrize("mark_ratio", [1, 2, 8])
+def test_mark_ratio_knob_locate_identical(rng, mark_ratio):
+    """locate_mark_ratio only changes the walk bound / mark density, never
+    results: counts and locations are identical across ratios (including
+    ratio 1 = every row marked, zero-step walk), and the ratio survives the
+    artifact round trip."""
+    import tempfile, os
+    from awry_tpu.io.artifact import load_artifact, save_artifact
+    from awry_tpu.ops import FmQueryEngine
+
+    seq = random_seq(Alphabet.NUCLEOTIDE, rng, 40_000)
+    base = build_from_records([("m", seq)], FmBuildArgs(lookup_table_kmer_len=4))
+    assert base.resolved_mark_ratio == 4  # default: min(4, sa_ratio=8)
+    idx = build_from_records(
+        [("m", seq)],
+        FmBuildArgs(lookup_table_kmer_len=4, locate_mark_ratio=mark_ratio),
+    )
+    assert idx.resolved_mark_ratio == mark_ratio
+    assert idx.text_sampled_sa.shape[0] == -(-idx.bwt_len // mark_ratio)
+    queries = [seq[s : s + 18] for s in rng.integers(0, 39_000, size=64)]
+    for use_sweep in (False, True):
+        e1 = FmQueryEngine(base, use_sweep=use_sweep)
+        e2 = FmQueryEngine(idx, use_sweep=use_sweep)
+        c1, s1, l1, o1 = e1.count_locate_arrays(queries, cap=4)
+        c2, s2, l2, o2 = e2.count_locate_arrays(queries, cap=4)
+        np.testing.assert_array_equal(c1, c2)
+        np.testing.assert_array_equal(s1, s2)
+        np.testing.assert_array_equal(l1, l2)
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "i.npz")
+        save_artifact(idx, p)
+        assert load_artifact(p).resolved_mark_ratio == mark_ratio
