@@ -130,9 +130,10 @@ def lf_walk(index: FmDeviceIndex, rows: jax.Array, *, backstep_fn=None) -> jax.A
     (served by the sorted sweep when the index carries the sweep layout).
     """
     if backstep_fn is None and index.has_marks and index.blocks_sweep is not None:
-        from .sweep import marked_walk_sweep
+        from .sweep import marked_walk_sweep, sweep_suits
 
-        return marked_walk_sweep(index, rows)
+        if sweep_suits(index, rows.shape[0]):
+            return marked_walk_sweep(index, rows)
     if backstep_fn is None and index.has_marks:
         return _marked_walk(index, rows)
     if backstep_fn is None:

@@ -67,9 +67,12 @@ def search_ranges(index: FmDeviceIndex, qsyms: jax.Array, qlens: jax.Array, *, u
       (starts, ends): uint32[B] inclusive ranges; empty iff start > end.
     """
     if update_fn is None:
-        if index.blocks_sweep is not None:
+        from .sweep import sweep_suits
+
+        if sweep_suits(index, 2 * qsyms.shape[0]):
             # Sorted-sweep hot path (ops/sweep.py): enabled by building the
-            # device index with to_device(build_sweep=True).
+            # device index with to_device(build_sweep=True); batches too
+            # sparse for guaranteed window coverage stay on plain gathers.
             from .sweep import sweep_update_range
 
             update_fn = lambda s, e, sym: sweep_update_range(index, s, e, sym)  # noqa: E731

@@ -43,10 +43,46 @@ from jax.experimental.pallas import tpu as pltpu
 from ..alphabet import code_to_index_table, index_to_code_table
 from .device_index import FmDeviceIndex
 
-WINDOW_TILES = 8  # tiles per window; window = 1024 blocks (160 KB nucleotide)
+WINDOW_TILES = 8  # minimum tiles per window; window = 1024 blocks (160 KB nucleotide)
+MAX_PAD_TILES = 2 * 64  # sweep arrays pad to this multiple so every pow2 wt <= 64 divides
 CHUNK = 128  # requests per grid step (= lane width)
 _FULL = 0xFFFFFFFF
 _SENTINEL_STEP = 0xFFFFFFFF  # "stepped to row 0" flag is unnecessary: kernel emits 0
+
+
+def pick_window_tiles(num_tiles: int, num_requests: int, row_words: int) -> int:
+    """Static per-call window size: a chunk of CHUNK sorted requests spans
+    ~CHUNK * num_blocks / num_requests blocks on average, and two windows
+    must cover it (with ~1.9x headroom for span variance; request gaps are
+    ~exponential so the span's std is mean/sqrt(CHUNK) ~ 9%).  Sparse
+    batches on huge indexes (GRCh38: 262k requests over 12M blocks) need
+    windows ~10x larger than the dense-batch minimum; VMEM caps the growth
+    (2 window inputs x double buffering <= ~8 MB of the ~16 MB/core)."""
+    want = _want_window_tiles(num_tiles, num_requests)
+    vmem_cap = max(WINDOW_TILES, (8 << 20) // (4 * CHUNK * row_words * 4))
+    wt = WINDOW_TILES
+    while wt < want and 2 * wt <= min(vmem_cap, 64):
+        wt *= 2
+    return wt
+
+
+def _want_window_tiles(num_tiles: int, num_requests: int) -> int:
+    # Chunk spans are anchored at an ALIGNED window: worst-case alignment
+    # burns one full window, so one window must cover 1.2x the mean span.
+    span_blocks = CHUNK * (num_tiles * CHUNK) / max(1, num_requests)
+    return max(WINDOW_TILES, int(-(-1.2 * span_blocks // CHUNK)))
+
+
+def sweep_suits(index: FmDeviceIndex, num_requests: int) -> bool:
+    """True when the sweep can serve `num_requests` with guaranteed window
+    coverage.  Very sparse batches on huge indexes (requests fewer than
+    ~num_blocks / 8k) exceed the VMEM-capped window size; callers should
+    take the plain-gather path there instead of paying the per-call
+    uncovered-fallback cliff."""
+    if index.blocks_sweep is None:
+        return False
+    nt, w = index.blocks_sweep.shape[0], index.blocks_sweep.shape[1]
+    return pick_window_tiles(nt, num_requests, w) >= _want_window_tiles(nt, num_requests)
 
 
 # ---------------------------------------------------------------------------
@@ -136,7 +172,7 @@ def _prefix_select(ps_ref, cardinality, sym):
 
 def sweep_pad_tiles(num_blocks: int) -> int:
     nt = -(-num_blocks // CHUNK)
-    return -(-nt // (2 * WINDOW_TILES)) * (2 * WINDOW_TILES)
+    return -(-nt // MAX_PAD_TILES) * MAX_PAD_TILES
 
 
 def build_sweep_blocks(blocks: np.ndarray) -> np.ndarray:
@@ -149,14 +185,14 @@ def build_sweep_blocks(blocks: np.ndarray) -> np.ndarray:
 
 
 def _row_select(winA, winB, local_block):
-    """rows_t [W, 128] for per-lane window-local block ids: 2*WINDOW_TILES
-    lane-gathers + select chain (the Mosaic-supported gather shape)."""
-    w = winA.shape[1]
+    """rows_t [W, 128] for per-lane window-local block ids: 2*wt lane-gathers
+    + select chain (the Mosaic-supported gather shape)."""
+    wt, w = winA.shape[0], winA.shape[1]
     sub = local_block >> 7
     lane_b = jnp.broadcast_to((local_block & 127).astype(jnp.int32), (w, CHUNK))
     rows_t = jnp.zeros((w, CHUNK), dtype=jnp.uint32)
-    for s in range(2 * WINDOW_TILES):
-        src = winA[s] if s < WINDOW_TILES else winB[s - WINDOW_TILES]
+    for s in range(2 * wt):
+        src = winA[s] if s < wt else winB[s - wt]
         g = jnp.take_along_axis(src, lane_b, axis=1)
         rows_t = jnp.where(sub == s, g, rows_t)
     return rows_t
@@ -166,11 +202,11 @@ def _row_select(winA, winB, local_block):
 # Kernels
 # ---------------------------------------------------------------------------
 
-def _occ_kernel(alphabet):
+def _occ_kernel(alphabet, wt):
     def kernel(cw_ref, ps_ref, pos_ref, sym_ref, winA_ref, winB_ref, occ_ref):
         c = pl.program_id(0)
         r = c % 8
-        base = cw_ref[c] * (WINDOW_TILES * CHUNK)
+        base = cw_ref[c] * (wt * CHUNK)
         pos = pos_ref[0, r, :][None, :]
         sym = sym_ref[0, r, :][None, :]
         local_block = (pos >> 8).astype(jnp.int32) - base
@@ -180,7 +216,7 @@ def _occ_kernel(alphabet):
     return kernel
 
 
-def _backstep_kernel(alphabet, mark_offset, ambiguity_idx):
+def _backstep_kernel(alphabet, mark_offset, ambiguity_idx, wt):
     """Fused marked-walk visit: from ONE row selection, emit the LF-stepped
     row (sentinel rows -> 0; src/fm_index.rs:585-593) and the packed mark
     state (mark_rank << 1) | mark_bit (ops/locate.py marked walk)."""
@@ -188,7 +224,7 @@ def _backstep_kernel(alphabet, mark_offset, ambiguity_idx):
     def kernel(cw_ref, ps_ref, pos_ref, winA_ref, winB_ref, step_ref, mark_ref):
         c = pl.program_id(0)
         r = c % 8
-        base = cw_ref[c] * (WINDOW_TILES * CHUNK)
+        base = cw_ref[c] * (wt * CHUNK)
         pos = pos_ref[0, r, :][None, :]
         local_block = (pos >> 8).astype(jnp.int32) - base
         rows_t = _row_select(winA_ref, winB_ref, local_block)
@@ -206,7 +242,7 @@ def _backstep_kernel(alphabet, mark_offset, ambiguity_idx):
     return kernel
 
 
-def _grid_spec(nchunks: int, nwin: int, w: int, n_req: int, n_out: int):
+def _grid_spec(nchunks: int, nwin: int, w: int, n_req: int, n_out: int, wt: int):
     """PrefetchScalarGridSpec shared by the sweep kernels.
 
     Scalar prefetch: (chunk window ids, prefix sums).  Request arrays and
@@ -221,7 +257,7 @@ def _grid_spec(nchunks: int, nwin: int, w: int, n_req: int, n_out: int):
         return lambda c, cw, ps: (jnp.minimum(cw[c] + off, nwin - 1), 0, 0)
 
     win_spec = lambda off: pl.BlockSpec(  # noqa: E731
-        (WINDOW_TILES, w, CHUNK), win_map(off), memory_space=pltpu.VMEM
+        (wt, w, CHUNK), win_map(off), memory_space=pltpu.VMEM
     )
     out_spec = pl.BlockSpec((1, 8, CHUNK), lambda c, cw, ps: (c // 8, 0, 0),
                             memory_space=pltpu.VMEM)
@@ -240,7 +276,16 @@ def _grid_spec(nchunks: int, nwin: int, w: int, n_req: int, n_out: int):
 _VAL_SHIFT = 5  # low bits of the sort payload carry the symbol (cardinality <= 22)
 
 
-def _sorted_chunks(pos: jax.Array, val: jax.Array):
+def _chunk_windows(spos: jax.Array, wt: int):
+    """Per-chunk window id + coverage flag for a SORTED position stream."""
+    first_blk = (spos[::CHUNK] >> 8).astype(jnp.int32)
+    last_blk = (spos[CHUNK - 1 :: CHUNK] >> 8).astype(jnp.int32)
+    win = first_blk // (wt * CHUNK)
+    covered = (last_blk - win * (wt * CHUNK)) < 2 * wt * CHUNK
+    return win, covered
+
+
+def _sorted_chunks(pos: jax.Array, val: jax.Array, wt: int):
     """Sort (pos, val) by pos; pad to whole groups of 8 chunks.  Padded lanes
     reuse the last position (stay covered) and carry payload ids ABOVE every
     real id so the unsort puts them at the tail."""
@@ -251,10 +296,7 @@ def _sorted_chunks(pos: jax.Array, val: jax.Array):
     pos_p = jnp.where(idx < r, _pad_to(pos, npad), pos[r - 1])
     val_p = jnp.where(idx < r, _pad_to(val, npad), idx << _VAL_SHIFT)
     spos, sval = jax.lax.sort_key_val(pos_p, val_p)
-    first_blk = (spos[::CHUNK] >> 8).astype(jnp.int32)
-    last_blk = (spos[CHUNK - 1 :: CHUNK] >> 8).astype(jnp.int32)
-    win = first_blk // (WINDOW_TILES * CHUNK)
-    covered = (last_blk - win * (WINDOW_TILES * CHUNK)) < 2 * WINDOW_TILES * CHUNK
+    win, covered = _chunk_windows(spos, wt)
     return spos, sval, win, covered, nchunks
 
 
@@ -283,12 +325,14 @@ def occurrence_sweep(index: FmDeviceIndex, pos: jax.Array, sym: jax.Array, *, in
     recomputed through the plain-gather path (rank.occurrence)."""
     r = pos.shape[0]
     val = (jnp.arange(r, dtype=jnp.int32) << _VAL_SHIFT) | sym.astype(jnp.int32)
-    spos, sval, win, covered_c, nchunks = _sorted_chunks(pos, val)
-    nwin = index.blocks_sweep.shape[0] // WINDOW_TILES
+    nt = index.blocks_sweep.shape[0]
     w = index.blocks_sweep.shape[1]
+    wt = pick_window_tiles(nt, r, w)
+    spos, sval, win, covered_c, nchunks = _sorted_chunks(pos, val, wt)
+    nwin = nt // wt
     occ_s = pl.pallas_call(
-        _occ_kernel(index.alphabet),
-        grid_spec=_grid_spec(nchunks, nwin, w, n_req=2, n_out=1),
+        _occ_kernel(index.alphabet, wt),
+        grid_spec=_grid_spec(nchunks, nwin, w, n_req=2, n_out=1, wt=wt),
         out_shape=jax.ShapeDtypeStruct((nchunks // 8, 8, CHUNK), jnp.uint32),
         interpret=interpret,
     )(
@@ -339,16 +383,15 @@ def _sweep_visit(index: FmDeviceIndex, pos: jax.Array, pay: jax.Array, interp: b
 
     npad = pos.shape[0]
     nchunks = npad // CHUNK
-    nwin = index.blocks_sweep.shape[0] // WINDOW_TILES
+    nt = index.blocks_sweep.shape[0]
     w = index.blocks_sweep.shape[1]
+    wt = pick_window_tiles(nt, npad, w)
+    nwin = nt // wt
     spos, spay = jax.lax.sort_key_val(pos, pay)
-    first_blk = (spos[::CHUNK] >> 8).astype(jnp.int32)
-    last_blk = (spos[CHUNK - 1 :: CHUNK] >> 8).astype(jnp.int32)
-    win = first_blk // (WINDOW_TILES * CHUNK)
-    covered_c = (last_blk - win * (WINDOW_TILES * CHUNK)) < 2 * WINDOW_TILES * CHUNK
+    win, covered_c = _chunk_windows(spos, wt)
     step_s, mark_s = pl.pallas_call(
-        _backstep_kernel(index.alphabet, index.mark_offset, index.alphabet.ambiguity_idx),
-        grid_spec=_grid_spec(nchunks, nwin, w, n_req=1, n_out=2),
+        _backstep_kernel(index.alphabet, index.mark_offset, index.alphabet.ambiguity_idx, wt),
+        grid_spec=_grid_spec(nchunks, nwin, w, n_req=1, n_out=2, wt=wt),
         out_shape=(
             jax.ShapeDtypeStruct((nchunks // 8, 8, CHUNK), jnp.uint32),
             jax.ShapeDtypeStruct((nchunks // 8, 8, CHUNK), jnp.uint32),
@@ -419,12 +462,14 @@ def backstep_mark_sweep(index: FmDeviceIndex, rows: jax.Array, *, interpret: boo
     mark_bit, covered bool [R])."""
     r = rows.shape[0]
     val = jnp.arange(r, dtype=jnp.int32) << _VAL_SHIFT
-    spos, sval, win, covered_c, nchunks = _sorted_chunks(rows, val)
-    nwin = index.blocks_sweep.shape[0] // WINDOW_TILES
+    nt = index.blocks_sweep.shape[0]
     w = index.blocks_sweep.shape[1]
+    wt = pick_window_tiles(nt, r, w)
+    spos, sval, win, covered_c, nchunks = _sorted_chunks(rows, val, wt)
+    nwin = nt // wt
     step_s, mark_s = pl.pallas_call(
-        _backstep_kernel(index.alphabet, index.mark_offset, index.alphabet.ambiguity_idx),
-        grid_spec=_grid_spec(nchunks, nwin, w, n_req=1, n_out=2),
+        _backstep_kernel(index.alphabet, index.mark_offset, index.alphabet.ambiguity_idx, wt),
+        grid_spec=_grid_spec(nchunks, nwin, w, n_req=1, n_out=2, wt=wt),
         out_shape=(
             jax.ShapeDtypeStruct((nchunks // 8, 8, CHUNK), jnp.uint32),
             jax.ShapeDtypeStruct((nchunks // 8, 8, CHUNK), jnp.uint32),

@@ -55,9 +55,9 @@ def test_occurrence_sweep_flags_uncovered(rng):
     uncovered lanes instead of silently mis-serving them."""
     import jax.numpy as jnp
 
-    index, dev = _dev(Alphabet.NUCLEOTIDE, rng, n=3_000_000)
-    # CHUNK requests spread over the whole index: one chunk spans ~11.7k
-    # blocks, far beyond the 2 * 1024-block windows.
+    index, dev = _dev(Alphabet.NUCLEOTIDE, rng, n=6_000_000)
+    # CHUNK requests spread over the whole index: one chunk spans ~23k
+    # blocks, beyond even two maximum (64-tile = 8192-block) windows.
     pos = np.linspace(0, index.bwt_len - 1, CHUNK).astype(np.uint32)
     sym = np.ones(CHUNK, dtype=np.int32)
     occ, cov = occurrence_sweep(dev, jnp.asarray(pos), jnp.asarray(sym), interpret=True)
@@ -151,3 +151,29 @@ def test_mark_ratio_knob_locate_identical(rng, mark_ratio):
         p = os.path.join(d, "i.npz")
         save_artifact(idx, p)
         assert load_artifact(p).resolved_mark_ratio == mark_ratio
+
+
+def test_adaptive_window_tiles_and_suits(rng):
+    """Window size scales with request sparsity (static per call); batches
+    too sparse for guaranteed coverage are reported by sweep_suits so the
+    engine routes them to the plain-gather path."""
+    import jax.numpy as jnp
+
+    from awry_tpu.ops.sweep import pick_window_tiles, sweep_suits
+
+    index, dev = _dev(Alphabet.NUCLEOTIDE, rng, n=6_000_000)
+    nt, w = dev.blocks_sweep.shape[0], dev.blocks_sweep.shape[1]
+    assert nt % 128 == 0  # MAX_PAD_TILES padding: every pow2 wt <= 64 divides
+    # Dense batch: minimum windows; sparse batch: grown windows.
+    assert pick_window_tiles(nt, 131_072, w) == 8
+    assert pick_window_tiles(nt, 2_048, w) > 8
+    assert sweep_suits(dev, 131_072) and sweep_suits(dev, 4_096)
+    assert not sweep_suits(dev, CHUNK)
+    # A sparse-but-coverable batch is served exactly through grown windows.
+    r = 4_096
+    pos = np.sort(rng.integers(0, index.bwt_len, size=r)).astype(np.uint32)
+    sym = rng.integers(1, 6, size=r).astype(np.int32)
+    occ, cov = occurrence_sweep(dev, jnp.asarray(pos), jnp.asarray(sym), interpret=True)
+    assert np.asarray(cov).all()
+    host = he.occurrence(index, pos.astype(np.int64), sym.astype(np.int64))
+    np.testing.assert_array_equal(np.asarray(occ).astype(np.int64), host.astype(np.int64))
