@@ -141,6 +141,18 @@ def build_from_sequence_data(seq_data: SequenceData, args: FmBuildArgs) -> FmInd
     np.cumsum(per_block_marked[:-1], out=mark_milestones[1:], dtype=np.uint32)
     text_sampled_sa = sa[marked[: sa.shape[0]].astype(bool)].astype(np.uint64)
 
+    # Packed text for the seed-walk-verify serving path (ops/verify.py):
+    # symbol indices at 4 (nucleotide) or 8 (amino) bits, little-endian
+    # within uint32 words.
+    bits = 4 if alphabet.cardinality <= 16 else 8
+    spw = 32 // bits
+    n_words = -(-(len(text_syms) + 1) // spw)
+    padded_syms = np.zeros(n_words * spw, dtype=np.uint32)
+    padded_syms[: len(text_syms)] = text_syms
+    text_packed = np.zeros(n_words, dtype=np.uint32)
+    for j in range(spw):
+        text_packed |= padded_syms[j::spw] << np.uint32(bits * j)
+
     kmer_len = args.resolved_kmer_len()
     base = alphabet.num_encoding_symbols
     index = FmIndexData(
@@ -159,6 +171,7 @@ def build_from_sequence_data(seq_data: SequenceData, args: FmBuildArgs) -> FmInd
         mark_milestones=mark_milestones,
         text_sampled_sa=text_sampled_sa,
         mark_ratio=mark_ratio,
+        text_packed=text_packed,
     )
     if args.build_kmer_table_on_device:
         from ..ops.device_index import to_device

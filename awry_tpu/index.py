@@ -114,6 +114,12 @@ class FmIndexData:
     # (the .awry row-sampling ratio); 0 means "legacy: equal to sa_ratio"
     # so v2 artifacts load unchanged.
     mark_ratio: int = 0
+    # Packed original text (symbol indices; 4 bits/symbol when cardinality
+    # <= 16, else 8), little-endian within each uint32 word.  Powers the
+    # seed-walk-verify serving path (ops/verify.py): after a few backward
+    # search steps, width-1 candidates are confirmed by direct text
+    # comparison instead of finishing the search.  None on .awry imports.
+    text_packed: np.ndarray | None = None
 
     @property
     def resolved_mark_ratio(self) -> int:
@@ -122,6 +128,10 @@ class FmIndexData:
     @property
     def has_marks(self) -> bool:
         return self.mark_bits is not None
+
+    @property
+    def text_bits_per_symbol(self) -> int:
+        return 4 if self.alphabet.cardinality <= 16 else 8
 
     @property
     def num_blocks(self) -> int:

@@ -49,6 +49,8 @@ def save_artifact(index: FmIndexData, path: str, *, compress: bool = True) -> No
             mark_milestones=index.mark_milestones,
             text_sampled_sa=index.text_sampled_sa,
         )
+    if index.text_packed is not None:
+        arrays["text_packed"] = index.text_packed
     (np.savez_compressed if compress else np.savez)(path, **arrays)
 
 
@@ -78,6 +80,7 @@ def load_artifact(path: str, *, strict: bool = False) -> FmIndexData:
             text_sampled_sa=z["text_sampled_sa"] if has_marks else None,
             # v1/v2 artifacts predate the knob: marks were built at sa_ratio.
             mark_ratio=int(meta.get("mark_ratio", 0)),
+            text_packed=z["text_packed"] if "text_packed" in z else None,
         )
     index.validate(strict=strict)
     return index

@@ -44,7 +44,7 @@ def mark_words_offset(alphabet: Alphabet) -> int:
 
 @partial(jax.tree_util.register_dataclass, data_fields=[
     "blocks", "prefix_sums", "sampled_sa", "text_sampled_sa", "kmer_table", "seq_starts",
-    "index_to_code", "code_to_index", "index_to_dense", "blocks_sweep",
+    "index_to_code", "code_to_index", "index_to_dense", "blocks_sweep", "text_packed",
 ], meta_fields=["alphabet", "sa_ratio", "bwt_len", "kmer_len", "has_marks", "mark_ratio"])
 @dataclasses.dataclass(frozen=True)
 class FmDeviceIndex:
@@ -81,6 +81,9 @@ class FmDeviceIndex:
     # copy of the block payload in HBM; built only when the sorted-sweep hot
     # path is enabled (HBM-resident indexes + large batches).  None otherwise.
     blocks_sweep: jax.Array | None = None
+    # Packed original text (FmIndexData.text_packed) for the seed-walk-verify
+    # serving path (ops/verify.py); None when unavailable (.awry imports).
+    text_packed: jax.Array | None = None
 
     @property
     def num_planes(self) -> int:
@@ -147,6 +150,15 @@ def to_device(index: FmIndexData, *, sharding=None, device=None, build_sweep: bo
     return FmDeviceIndex(
         blocks=put("blocks", fused),
         blocks_sweep=sweep_arr,
+        text_packed=(
+            # TEXT_PAD_WORDS zero words prepended: the verify path's
+            # backward window gather never clamps (ops/verify.py).
+            put("text_packed", np.concatenate([
+                np.zeros(64, dtype=np.uint32), index.text_packed.astype(np.uint32)
+            ]))
+            if index.text_packed is not None
+            else None
+        ),
         prefix_sums=put("prefix_sums", index.prefix_sums.astype(np.uint32)),
         sampled_sa=put("sampled_sa", index.sampled_sa.astype(np.uint32)),
         text_sampled_sa=put("text_sampled_sa", text_sampled.astype(np.uint32)),

@@ -119,6 +119,18 @@ class FmQueryEngine:
         self._count_locate_fn = jax.jit(wrap(count_locate_capped), static_argnames=("cap",))
         self._seq_starts_host = np.asarray(self.device_index.seq_starts).astype(np.int64)
 
+        # Seed-walk-verify serving path (ops/verify.py): HBM-regime indexes
+        # built with packed text + marks take it for fused count+locate.
+        dev = self.device_index
+        self._verify_enabled = (
+            dev.text_packed is not None and dev.blocks_sweep is not None and dev.has_marks
+        )
+        if self._verify_enabled:
+            from .verify import count_locate_verify, switch_step
+
+            self._verify_s = switch_step(dev)
+            self._verify_fn = jax.jit(wrap(count_locate_verify), static_argnames=("s",))
+
     # -- host-side encoding ------------------------------------------------
     def encode_queries(self, queries) -> tuple[jax.Array, jax.Array]:
         """Encode + pad a list of str/bytes queries to [B, L] symbols and
@@ -195,10 +207,20 @@ class FmQueryEngine:
         order (reference order, src/fm_index.rs:521).
         """
         qsyms, qlens = self.encode_queries(queries)
-        counts_d, text_pos, starts_d, _ends_d = self._count_locate_fn(
-            self.device_index, qsyms, qlens, cap=cap
-        )
-        n = len(queries)
+        counts, flat_pos, offsets = self._flat_dispatch(len(queries), qsyms, qlens, cap)
+        seq_idx, local = self._localize(flat_pos)
+        return counts.astype(np.uint64), seq_idx, local, offsets
+
+    def _flat_dispatch(self, n, qsyms, qlens, cap):
+        """(counts, flat global positions, offsets) via the verify path when
+        available, else the classic fused path."""
+        if self._verify_enabled:
+            return self._flat_verify(n, qsyms, qlens, cap)
+        out = self._count_locate_fn(self.device_index, qsyms, qlens, cap=cap)
+        return self._flat_classic(out, n, cap)
+
+    def _flat_classic(self, out, n, cap):
+        counts_d, text_pos, starts_d, _ends_d = out
         counts = np.asarray(counts_d)[:n].astype(np.int64)
         text_pos = np.asarray(text_pos)[:n]
         offsets = np.zeros(n + 1, dtype=np.int64)
@@ -206,8 +228,49 @@ class FmQueryEngine:
         flat_pos = self._assemble_flat_positions(
             counts, text_pos, np.asarray(starts_d)[:n], offsets, cap
         )
-        seq_idx, local = self._localize(flat_pos)
-        return counts.astype(np.uint64), seq_idx, local, offsets
+        return counts, flat_pos, offsets
+
+    def _flat_verify(self, n, qsyms, qlens, cap):
+        """Seed-walk-verify flow (ops/verify.py): one fused dispatch settles
+        every width<=1 lane (count AND position); wide lanes (repetitive
+        seeds) and sub-switch-length lanes with hits are re-dispatched as a
+        small batch (their WIRE rows re-bucketed) through the classic
+        full-depth path."""
+        out = self._verify_fn(self.device_index, qsyms, qlens, s=self._verify_s)
+        return self._flat_verify_finish(n, qsyms, qlens, cap, out)
+
+    def _flat_verify_finish(self, n, qsyms, qlens, cap, out):
+        counts_d, pos_d, wide_d, _s, _e = out
+        counts = np.asarray(counts_d)[:n].astype(np.int64)
+        pos = np.asarray(pos_d)[:n].astype(np.int64)
+        wide = np.asarray(wide_d)[:n]
+        lens = np.asarray(qlens)[:n]
+        redis = wide | ((counts > 0) & (lens <= self._verify_s))
+        sub_counts = sub_flat = sub_offsets = None
+        if redis.any():
+            idxs = np.nonzero(redis)[0]
+            b = _bucket(len(idxs))
+            qs_host = np.asarray(qsyms)
+            sq = np.zeros((b, qs_host.shape[1]), dtype=qs_host.dtype)
+            sq[: len(idxs)] = qs_host[idxs]
+            sl = np.zeros(b, dtype=np.int32)
+            sl[: len(idxs)] = lens[idxs]
+            sub_out = self._count_locate_fn(
+                self.device_index, jnp.asarray(sq), jnp.asarray(sl), cap=cap
+            )
+            sub_counts, sub_flat, sub_offsets = self._flat_classic(sub_out, len(idxs), cap)
+            counts[redis] = sub_counts
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        flat_pos = np.empty(int(offsets[-1]), dtype=np.int64)
+        settled = (~redis) & (counts == 1)
+        flat_pos[offsets[:-1][settled]] = pos[settled]
+        if sub_counts is not None and sub_flat.shape[0]:
+            within = np.arange(sub_flat.shape[0], dtype=np.int64) - np.repeat(
+                sub_offsets[:-1], sub_counts
+            )
+            flat_pos[np.repeat(offsets[:-1][redis], sub_counts) + within] = sub_flat
+        return counts, flat_pos, offsets
 
     def _assemble_flat_positions(self, counts, text_pos, starts, offsets, cap):
         """Vectorized ragged assembly of walked text positions (no per-query
@@ -259,18 +322,19 @@ class FmQueryEngine:
             else:
                 qsyms, qlens = self.encode_queries(batch)
                 n = len(batch)
+            # Issue the device program now (async dispatch); the host side of
+            # the chosen path runs at assemble time.
+            if self._verify_enabled:
+                out = self._verify_fn(self.device_index, qsyms, qlens, s=self._verify_s)
+                return "verify", n, qsyms, qlens, out
             out = self._count_locate_fn(self.device_index, qsyms, qlens, cap=cap)
-            return n, out
+            return "classic", n, qsyms, qlens, out
 
-        def assemble(n, out):
-            counts_d, text_pos, starts_d, _ends_d = out
-            counts = np.asarray(counts_d)[:n].astype(np.int64)
-            text_pos = np.asarray(text_pos)[:n]
-            offsets = np.zeros(n + 1, dtype=np.int64)
-            np.cumsum(counts, out=offsets[1:])
-            flat_pos = self._assemble_flat_positions(
-                counts, text_pos, np.asarray(starts_d)[:n], offsets, cap
-            )
+        def assemble(kind, n, qsyms, qlens, out):
+            if kind == "verify":
+                counts, flat_pos, offsets = self._flat_verify_finish(n, qsyms, qlens, cap, out)
+            else:
+                counts, flat_pos, offsets = self._flat_classic(out, n, cap)
             seq_idx, local = self._localize(flat_pos)
             return counts.astype(np.uint64), seq_idx, local, offsets
 
@@ -320,6 +384,10 @@ class FmQueryEngine:
                     self._count_locate_fn(self.device_index, qsyms, qlens, cap=cap),
                     self._count_fn(self.device_index, qsyms, qlens),
                 ]
+                if self._verify_enabled:
+                    outs.append(
+                        self._verify_fn(self.device_index, qsyms, qlens, s=self._verify_s)
+                    )
                 jax.block_until_ready(outs)
 
     def count(self, query) -> int:

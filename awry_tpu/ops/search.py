@@ -53,7 +53,14 @@ def unpack_nibbles(qpacked: jax.Array) -> jax.Array:
     return jnp.stack([lo, hi], axis=-1).reshape(b, half * 2)
 
 
-def search_ranges(index: FmDeviceIndex, qsyms: jax.Array, qlens: jax.Array, *, update_fn=None):
+def search_ranges(
+    index: FmDeviceIndex,
+    qsyms: jax.Array,
+    qlens: jax.Array,
+    *,
+    update_fn=None,
+    num_steps: int | None = None,
+):
     """Backward-search a batch of queries to their final BWT ranges.
 
     Args:
@@ -62,6 +69,10 @@ def search_ranges(index: FmDeviceIndex, qsyms: jax.Array, qlens: jax.Array, *, u
       update_fn: optional (starts, ends, sym) -> (starts, ends) override for
         the LF-mapping step; used by the Pallas kernel path and the
         range-sharded collective path.  Defaults to rank.update_range.
+      num_steps: optional static cap on consumed symbols (from the query
+        end); the seed-walk-verify path (ops/verify.py) stops the search
+        after a few post-seed steps.  Queries shorter than the cap still
+        finish exactly (the active mask freezes them at their length).
 
     Returns:
       (starts, ends): uint32[B] inclusive ranges; empty iff start > end.
@@ -119,8 +130,9 @@ def search_ranges(index: FmDeviceIndex, qsyms: jax.Array, qlens: jax.Array, *, u
         # first k-1 loop steps are all skipped this way.
         return jax.lax.cond(jnp.any(active), do_step, lambda: (starts, ends))
 
-    if L > 1:
-        s0, e0 = jax.lax.fori_loop(1, L, body, (s0, e0))
+    upper = L if num_steps is None else min(L, num_steps)
+    if upper > 1:
+        s0, e0 = jax.lax.fori_loop(1, upper, body, (s0, e0))
 
     # Zero-length queries yield the canonical empty range (start=1, end=0,
     # src/search.rs:51-56).  Queries containing the sentinel symbol do too:

@@ -1,0 +1,92 @@
+"""Seed-walk-verify path (ops/verify.py) vs the classic path and the oracle.
+
+The adversarial cases that matter: matches at position 0 (the backward
+window gather runs into the front padding), queries that agree on their
+last S symbols but DIFFER in the prefix (verification must reject),
+repetitive texts whose seeds stay wide at the switch step (classic
+re-dispatch), short queries, and the amino (8-bit packed) codec.
+"""
+
+import numpy as np
+import pytest
+
+import awry_tpu.host_engine as he
+from awry_tpu import Alphabet, FmBuildArgs, build_from_records
+from awry_tpu.ops import FmQueryEngine
+
+from .conftest import random_seq
+
+
+def _engine(seq, *, alphabet=Alphabet.NUCLEOTIDE, k=4):
+    index = build_from_records(
+        [("v", seq)], FmBuildArgs(alphabet=alphabet, lookup_table_kmer_len=k)
+    )
+    eng = FmQueryEngine(index, use_sweep=True)
+    assert eng._verify_enabled
+    return index, eng
+
+
+def _check_against_classic(index, eng, queries, cap=4):
+    classic = FmQueryEngine(index, use_sweep=False)
+    assert not classic._verify_enabled
+    c1, s1, l1, o1 = eng.count_locate_arrays(queries, cap=cap)
+    c2, s2, l2, o2 = classic.count_locate_arrays(queries, cap=cap)
+    np.testing.assert_array_equal(c1, c2)
+    np.testing.assert_array_equal(o1, o2)
+    np.testing.assert_array_equal(s1, s2)
+    np.testing.assert_array_equal(l1, l2)
+    # Oracle spot checks
+    for i in (0, len(queries) - 1):
+        assert he.count(index, queries[i]) == int(c1[i])
+
+
+def test_verify_matches_classic_random(rng):
+    seq = random_seq(Alphabet.NUCLEOTIDE, rng, 60_000)
+    index, eng = _engine(seq)
+    queries = [seq[s : s + 24] for s in rng.integers(0, 59_000, size=256)]
+    # Position-0 match: window gather leans on the front padding.
+    queries.append(seq[:20])
+    # Same suffix, corrupted prefix: seed+walk succeed, verify must reject.
+    good = bytearray(seq[1000:1024])
+    bad = bytes([good[0] ^ 6]) + bytes(good[1:])  # flip the FIRST symbol
+    queries += [bytes(good), bad]
+    # Short (<= switch step) queries with many hits, empty, sentinel.
+    queries += [b"ACG", b"", b"AC$GT"]
+    _check_against_classic(index, eng, queries)
+
+
+def test_verify_wide_lanes_redispatch(rng):
+    """A repetitive text keeps seeds wide at the switch step; those lanes
+    must flow through the classic re-dispatch and stay exact."""
+    unit = bytes(random_seq(Alphabet.NUCLEOTIDE, rng, 100))
+    seq = unit * 400 + bytes(random_seq(Alphabet.NUCLEOTIDE, rng, 10_000))
+    index, eng = _engine(seq, k=3)
+    queries = [unit[10:40], unit[:25], seq[-500:-470], unit * 2][:4]
+    counts = eng.count_batch(queries)
+    c1, s1, l1, o1 = eng.count_locate_arrays(queries, cap=8)
+    for i, q in enumerate(queries):
+        assert int(c1[i]) == he.count(index, q) == int(counts[i])
+    # locations of the wide query verified against the oracle
+    oracle = he.locate(index, queries[0])
+    got = list(zip(s1[o1[0] : o1[1]].tolist(), l1[o1[0] : o1[1]].tolist()))
+    assert sorted(got) == sorted(oracle)
+    assert len(got) > 8  # genuinely wide: exercised the over-cap path too
+
+
+def test_verify_amino_byte_packed(rng):
+    seq = random_seq(Alphabet.AMINO, rng, 50_000)
+    index, eng = _engine(seq, alphabet=Alphabet.AMINO, k=3)
+    queries = [seq[s : s + 12] for s in rng.integers(0, 49_000, size=128)]
+    queries += [seq[:10], b"MMMM"]
+    _check_against_classic(index, eng, queries)
+
+
+def test_verify_mixed_lengths(rng):
+    """Lengths straddling the switch step in one batch."""
+    seq = random_seq(Alphabet.NUCLEOTIDE, rng, 80_000)
+    index, eng = _engine(seq, k=5)  # switch = 9
+    queries = []
+    for ln in (4, 8, 9, 10, 15, 31):
+        starts = rng.integers(0, 79_000, size=8)
+        queries += [seq[s : s + ln] for s in starts]
+    _check_against_classic(index, eng, queries, cap=8)
