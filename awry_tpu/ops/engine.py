@@ -239,31 +239,52 @@ class FmQueryEngine:
         return self._flat_verify_finish(n, qsyms, qlens, cap, out)
 
     def _flat_verify_finish(self, n, qsyms, qlens, cap, out):
-        counts_d, pos_d, wide_d, _s, _e = out
-        counts = np.asarray(counts_d)[:n].astype(np.int64)
-        pos = np.asarray(pos_d)[:n].astype(np.int64)
-        wide = np.asarray(wide_d)[:n]
-        lens = np.asarray(qlens)[:n]
-        redis = wide | ((counts > 0) & (lens <= self._verify_s))
+        from .verify import unpack_verify_bundle, wide_groups
+
+        bundle_d, _s, _e = out
+        B = _s.shape[0]
+        bundle = np.asarray(bundle_d)  # the ONE device->host transfer
+        pos_u, counts_b, redis_b, lane_g, pos_slot, ok_slot = unpack_verify_bundle(
+            bundle, B, wide_groups(B)
+        )
+        counts = counts_b[:n]
+        pos = pos_u[:n].astype(np.int64)
+        redis = redis_b[:n]
         sub_counts = sub_flat = sub_offsets = None
         if redis.any():
+            # Re-dispatch the flagged lanes through the classic full-depth
+            # path.  Row selection happens ON DEVICE (the wire batch never
+            # round-trips back through the tunnel); padding slots repeat
+            # row idxs[0] and are sliced off by _flat_classic.
             idxs = np.nonzero(redis)[0]
             b = _bucket(len(idxs))
-            qs_host = np.asarray(qsyms)
-            sq = np.zeros((b, qs_host.shape[1]), dtype=qs_host.dtype)
-            sq[: len(idxs)] = qs_host[idxs]
-            sl = np.zeros(b, dtype=np.int32)
-            sl[: len(idxs)] = lens[idxs]
+            pad_idx = np.zeros(b, dtype=np.int32)
+            pad_idx[: len(idxs)] = idxs
+            sel = jnp.asarray(pad_idx)
             sub_out = self._count_locate_fn(
-                self.device_index, jnp.asarray(sq), jnp.asarray(sl), cap=cap
+                self.device_index,
+                jnp.asarray(qsyms)[sel],
+                jnp.asarray(qlens)[sel],
+                cap=cap,
             )
             sub_counts, sub_flat, sub_offsets = self._flat_classic(sub_out, len(idxs), cap)
             counts[redis] = sub_counts
         offsets = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(counts, out=offsets[1:])
         flat_pos = np.empty(int(offsets[-1]), dtype=np.int64)
-        settled = (~redis) & (counts == 1)
+        # Lanes settled on device as wide groups (width 2..WIDE_CAP): their
+        # verified slots land at the lane's offsets in j (BWT-row) order.
+        vg = lane_g < n
+        wide_settled = np.zeros(n, dtype=bool)
+        wide_settled[lane_g[vg]] = True
+        settled = (~redis) & (counts == 1) & ~wide_settled
         flat_pos[offsets[:-1][settled]] = pos[settled]
+        sel2 = ok_slot & vg[:, None]
+        if sel2.any():
+            ranks = np.cumsum(sel2, axis=1) - 1
+            lane_mat = np.broadcast_to(lane_g[:, None], sel2.shape)
+            dst = offsets[:-1][lane_mat[sel2]] + ranks[sel2]
+            flat_pos[dst] = pos_slot[sel2].astype(np.int64)
         if sub_counts is not None and sub_flat.shape[0]:
             within = np.arange(sub_flat.shape[0], dtype=np.int64) - np.repeat(
                 sub_offsets[:-1], sub_counts

@@ -77,26 +77,35 @@ def compare_text_suffixes(
     spw = 32 // bits
     lg = 3 if bits == 4 else 2
     L = qsyms.shape[1]
-    K = -(-(L - 1) // spw) + 1
-    if K > TEXT_PAD_WORDS:
+    # Only distances d in [s, L) are compared (the search already matched
+    # the last s symbols), so only backward words jlo..jhi around e are
+    # needed: aligned[d//spw] reads rev[j] and rev[j+1] for j = d//spw.
+    jlo = s // spw
+    jhi = (L - 1) // spw + 1
+    if jhi > TEXT_PAD_WORDS:
         raise ValueError(f"padded query length {L} exceeds verify window")
 
-    w_base = (e >> lg).astype(jnp.int32)
-    start = w_base - (K - 1) + TEXT_PAD_WORDS  # >= 1: front padding absorbs it
-    words = jax.vmap(
-        lambda st: jax.lax.dynamic_slice(index.text_packed, (st,), (K,))
-    )(start)  # [B, K]; words[:, K-1] contains e
+    # rev[j] is the symbol-reversed text word at index (e>>lg) - j; gather
+    # the needed span with ONE flat advanced-index gather (a vmapped
+    # dynamic_slice mis-lowers ~6x slower at this size — see
+    # scripts/micro_textgather.py).
+    w_base = (e >> lg).astype(jnp.int32) + TEXT_PAD_WORDS
+    cols = jnp.arange(jlo, jhi + 1, dtype=jnp.int32)  # ascending j
+    words = index.text_packed[w_base[:, None] - cols[None, :]]  # [B, jhi-jlo+1]
+    rev = _reverse_symbols(words, bits)
 
-    # Reverse into an ascending-distance stream, then align so distance d
-    # sits at slot d: a = spw-1 - (e % spw) symbols of lead-in to drop.
-    rev = _reverse_symbols(words[:, ::-1], bits)  # [B, K]; rev[:, 0] holds e's word
+    def rev_at(j):
+        return rev[:, j - jlo]
+
+    # Align so distance d sits at slot d: a = spw-1 - (e % spw) symbols of
+    # lead-in to drop from the reversed stream.
     a = (jnp.uint32(spw - 1) - (e & jnp.uint32(spw - 1))).astype(jnp.uint32)
     sh = (a * bits).astype(jnp.uint32)
-    aligned = []
-    for j in range(K - 1):
-        lo = rev[:, j] >> sh
-        hi = jnp.where(sh == 0, jnp.uint32(0), rev[:, j + 1] << (jnp.uint32(32) - sh))
-        aligned.append(lo | hi)
+    aligned = {}
+    for j in range(jlo, jhi):
+        lo = rev_at(j) >> sh
+        hi = jnp.where(sh == 0, jnp.uint32(0), rev_at(j + 1) << (jnp.uint32(32) - sh))
+        aligned[j] = lo | hi
 
     mask_sym = jnp.uint32((1 << bits) - 1)
     ok = jnp.ones(e.shape, dtype=bool)
@@ -107,21 +116,39 @@ def compare_text_suffixes(
     return ok
 
 
+WIDE_CAP = 4  # candidate rows verified per wide lane inside the fused kernel
+
+
+def wide_groups(batch: int) -> int:
+    """Compacted wide-lane budget: lanes whose step-``s`` range is 2..WIDE_CAP
+    wide are settled on device through this many group slots (~3% of the
+    batch covers random-text collision rates many times over; overflow just
+    falls back to the classic redispatch)."""
+    return max(16, batch // 32)
+
+
 def count_locate_verify(
     index: FmDeviceIndex, qsyms: jax.Array, qlens: jax.Array, s: int
 ):
     """Fused seed-walk-verify count+locate in one device dispatch.
 
-    Returns (counts uint32[B], text_pos uint32[B], wide bool[B]):
-    * wide lanes (width >= 2 at step ``s`` and qlen > s) report their
-      PARTIAL width as count and must be re-dispatched through the classic
-      path by the caller;
-    * all other lanes are final: count is exact, and lanes with
-      count == 1 and qlen > s have their (unique) global match position in
-      text_pos.  Lanes with qlen <= s report final counts but NO positions
-      (the caller walks their ranges classically); callers that serve
-      fixed-length reads longer than ``s`` never hit that case.
-    Also returns (starts, ends) of the step-``s`` ranges for that walk.
+    Returns ``(bundle, starts, ends)``; ``bundle`` is a single packed u8
+    buffer (one host transfer; see unpack_verify_bundle) carrying:
+
+    * counts (7-bit clamp): exact for every lane with redis False; lanes
+      with count == 1, qlen > s and not wide-settled have their (unique)
+      global match position in pos.
+    * redis bool[B]: lanes the caller must re-dispatch through the classic
+      full-depth path — ranges wider than WIDE_CAP at step ``s`` (or wide
+      lanes past the group budget), and qlen <= s lanes with hits (exact
+      count but unwalked positions); their clamped counts are discarded.
+    * Wide lanes with width 2..WIDE_CAP are settled HERE: their candidate
+      rows are compacted into ``wide_groups(B)`` groups of WIDE_CAP slots
+      and verified alongside the singleton lanes.  lane_g maps group ->
+      lane (>= B = empty); ok_slot marks verified slots (in BWT-row order,
+      the reference's hit order, src/fm_index.rs:521); pos_slot their
+      positions.
+    * (starts, ends): the step-``s`` device ranges (never transferred).
     """
     starts, ends = search_ranges(index, qsyms, qlens, num_steps=s)
     width = counts_from_ranges(starts, ends)
@@ -129,12 +156,101 @@ def count_locate_verify(
     candidate = (width == 1) & long_enough
     wide = (width >= 2) & long_enough
 
-    rows = jnp.where(candidate, starts, jnp.uint32(0))  # row 0 is marked
-    p = lf_walk(index, rows)
+    B = starts.shape[0]
+    G = wide_groups(B)
+
+    # Compact wide lanes (width <= WIDE_CAP) into group slots.
+    gidx = jnp.cumsum(wide.astype(jnp.int32)) - 1  # group id per wide lane
+    fits = wide & (width <= WIDE_CAP) & (gidx < G)
+    scatter_to = jnp.where(fits, gidx, G)  # G = dump slot
+    lane_of_group = (
+        jnp.full((G + 1,), B, dtype=jnp.int32)
+        .at[scatter_to]
+        .set(jnp.arange(B, dtype=jnp.int32))[:G]
+    )
+    valid_g = lane_of_group < B
+    lane_safe = jnp.where(valid_g, lane_of_group, 0)
+    g_start = starts[lane_safe]
+    g_width = jnp.where(valid_g, width[lane_safe], jnp.uint32(0))
+    jslot = jnp.arange(WIDE_CAP, dtype=jnp.uint32)
+    slot_valid = jslot[None, :] < g_width[:, None]  # [G, WIDE_CAP]
+    slot_rows = jnp.where(slot_valid, g_start[:, None] + jslot[None, :], jnp.uint32(0))
+
+    # One shared walk + one shared text compare over singleton lanes and
+    # wide slots (row 0 is marked, so masked lanes terminate immediately).
+    rows_main = jnp.where(candidate, starts, jnp.uint32(0))
+    p_all = lf_walk(index, jnp.concatenate([rows_main, slot_rows.reshape(-1)]))
+    p = p_all[:B]
+    p_slot = p_all[B:].reshape(G, WIDE_CAP)
+
     rem = jnp.where(long_enough, qlens - s, 0).astype(jnp.uint32)
-    e = p + jnp.uint32(s - 1)
-    matches = compare_text_suffixes(index, e, qsyms, qlens, s)
+    rem_g = rem[lane_safe]
+    e_all = jnp.concatenate(
+        [p + jnp.uint32(s - 1), (p_slot + jnp.uint32(s - 1)).reshape(-1)]
+    )
+    q_all = jnp.concatenate([qsyms, jnp.repeat(qsyms[lane_safe], WIDE_CAP, axis=0)])
+    l_all = jnp.concatenate([qlens, jnp.repeat(qlens[lane_safe], WIDE_CAP)])
+    ok_all = compare_text_suffixes(index, e_all, q_all, l_all, s)
+
+    matches = ok_all[:B]
     verified = candidate & matches & (p >= rem)
+    ok_slot = (
+        ok_all[B:].reshape(G, WIDE_CAP) & slot_valid & (p_slot >= rem_g[:, None])
+    )
+    pos_slot = p_slot - rem_g[:, None]
+    wide_counts = ok_slot.sum(axis=1).astype(jnp.uint32)  # [G]
+
+    # Scatter wide-group results back to lanes (dump index B for empties).
+    lane_or_dump = jnp.where(valid_g, lane_of_group, B)
+    settled_w = (
+        jnp.zeros((B + 1,), dtype=bool).at[lane_or_dump].set(valid_g)[:B]
+    )
+    counts_w = (
+        jnp.zeros((B + 1,), dtype=jnp.uint32).at[lane_or_dump].set(wide_counts)[:B]
+    )
     counts = jnp.where(candidate, verified.astype(jnp.uint32), width)
+    counts = jnp.where(settled_w, counts_w, counts)
+    redis = (wide & ~settled_w) | ((counts > 0) & ~long_enough)
     text_pos = p - rem
-    return counts, text_pos, wide, starts, ends
+
+    # Pack every host-bound result into ONE u8 buffer: each np.asarray on a
+    # separate output pays a full tunnel/PCIe round trip (measured 187 ms
+    # for six transfers vs ~45 ms for one on the relay link), and redis
+    # lanes' counts are recomputed anyway so a 7-bit clamp loses nothing.
+    flags = (
+        jnp.minimum(counts, jnp.uint32(127)).astype(jnp.uint8)
+        | (redis.astype(jnp.uint8) << 7)
+    )
+    okbits = (
+        ok_slot.astype(jnp.uint32) << jnp.arange(WIDE_CAP, dtype=jnp.uint32)[None, :]
+    ).sum(axis=1, dtype=jnp.uint32)
+    wide_meta = jnp.concatenate(
+        [lane_of_group.astype(jnp.uint32)[:, None], pos_slot, okbits[:, None]], axis=1
+    )  # [G, 2 + WIDE_CAP]
+    bundle = jnp.concatenate(
+        [
+            jax.lax.bitcast_convert_type(text_pos, jnp.uint8).reshape(-1),
+            flags,
+            jax.lax.bitcast_convert_type(wide_meta, jnp.uint8).reshape(-1),
+        ]
+    )
+    return bundle, starts, ends
+
+
+def unpack_verify_bundle(bundle: "np.ndarray", batch: int, groups: int):
+    """Host-side view of count_locate_verify's packed result buffer.
+
+    Returns (pos uint32[B], counts int64[B], redis bool[B], lane_g int64[G],
+    pos_slot uint32[G, WIDE_CAP], ok_slot bool[G, WIDE_CAP])."""
+    import numpy as np
+
+    b4 = 4 * batch
+    pos = bundle[:b4].view(np.uint32)
+    flags = bundle[b4 : b4 + batch]
+    meta = bundle[b4 + batch :].view(np.uint32).reshape(groups, 2 + WIDE_CAP)
+    counts = (flags & 0x7F).astype(np.int64)
+    redis = (flags >> 7).astype(bool)
+    lane_g = meta[:, 0].astype(np.int64)
+    pos_slot = meta[:, 1 : 1 + WIDE_CAP]
+    ok_slot = ((meta[:, 1 + WIDE_CAP][:, None] >> np.arange(WIDE_CAP)) & 1).astype(bool)
+    return pos, counts, redis, lane_g, pos_slot, ok_slot
