@@ -53,7 +53,12 @@ class FmBuildArgs:
     suffix_array_output_src: str | None = None  # intermediate SA artifact (.npy)
     suffix_array_compression_ratio: int | None = None  # default 8 (fm_index.rs:122)
     lookup_table_kmer_len: int | None = None  # defaults 10 / 4 (kmer_lookup_table.rs:23-24)
-    max_query_len: int | None = None  # accepted for parity; full-depth sort is always used
+    # Accepted for parity but never bounds the sort: the reference caps
+    # libsufr's comparison-sort depth (src/fm_index.rs:90-92,158) because
+    # that sort costs O(n log n * depth); our SA-IS is linear-time, so the
+    # full sort is both faster and exact for every query length (PARITY.md
+    # divergence #9).  PartitionedFmIndex uses it as the query-length bound.
+    max_query_len: int | None = None
     remove_intermediate_suffix_array_file: bool = False  # fm_index.rs:263-265
     build_kmer_table_on_device: bool = False  # breadth-wise device build (ops/kmer.py)
     # TPU locate knob: density of the text-order sampling marks that bound

@@ -73,6 +73,65 @@ def test_verify_wide_lanes_redispatch(rng):
     assert len(got) > 8  # genuinely wide: exercised the over-cap path too
 
 
+def _planted_text(rng, n, motif, prefixes):
+    """ACG-only random base text with `prefix + motif` planted at spaced
+    positions; the motif contains T so it cannot occur by chance."""
+    base = bytearray(random_seq(Alphabet.NUCLEOTIDE, rng, n).replace(b"T", b"A"))
+    gap = n // (len(prefixes) + 1)
+    spots = []
+    for i, pfx in enumerate(prefixes):
+        at = gap * (i + 1)
+        base[at : at + len(pfx) + len(motif)] = pfx + motif
+        spots.append(at)
+    return bytes(base), spots
+
+
+def test_verify_wide_settled_on_device(rng):
+    """Lanes whose step-s range is 2..WIDE_CAP wide are settled inside the
+    fused kernel (count AND positions), including partial verification:
+    candidates sharing the s-suffix but differing upstream must be
+    rejected individually.  Width WIDE_CAP+1 exceeds the cap and takes the
+    classic redispatch.  All compared against the classic engine + oracle."""
+    from awry_tpu.ops.verify import WIDE_CAP
+
+    # k=4 -> switch step s=8; motifs carry T so the ACG base can't collide.
+    m2, m4, m5 = b"TTGTACTT", b"TTCATGTT", b"TTACGTTT"
+    p = b"ACGGACAGGCAC"
+    q = b"CAGCGAAGGACG"
+    plants = (
+        [(p, m2)] * 2                               # width 2, both verify
+        + [(p, m4)] * 2 + [(q, m4), (b"AAA" + q[3:], m4)]  # width 4, 2/1/1 split
+        + [(p, m5)] * (WIDE_CAP + 1)                # width 5 > WIDE_CAP: redispatch
+    )
+    seq, _ = _planted_text(
+        rng, 120_000, b"", [pp + mm for pp, mm in plants]
+    )
+    index, eng = _engine(seq, k=4)
+    queries = [
+        p + m2,                  # wide-settled, count 2
+        p + m4,                  # wide-settled, count 2 of width 4
+        q + m4,                  # wide-settled, count 1 (others rejected)
+        b"GGGGAAGGACGT" + m4,    # wide lane, count 0 (no candidate verifies)
+        p + m5,                  # width > WIDE_CAP: classic redispatch
+        m4[-6:],                 # short query (<= s) stays classic
+    ]
+    _check_against_classic(index, eng, queries, cap=8)
+
+
+def test_verify_wide_group_budget_overflow(rng):
+    """More wide lanes than wide_groups(B) slots: the overflow lanes must
+    fall back to the classic redispatch and stay exact."""
+    from awry_tpu.ops.verify import wide_groups
+
+    motif = b"TTGAGCTT"
+    pfx = b"ACGGACAGGCAC"
+    seq, _ = _planted_text(rng, 80_000, b"", [pfx + motif] * 2)
+    index, eng = _engine(seq, k=4)
+    n_wide = wide_groups(16) + 8  # every lane is width-2 wide at s
+    queries = [pfx + motif] * n_wide
+    _check_against_classic(index, eng, queries, cap=4)
+
+
 def test_verify_amino_byte_packed(rng):
     seq = random_seq(Alphabet.AMINO, rng, 50_000)
     index, eng = _engine(seq, alphabet=Alphabet.AMINO, k=3)
