@@ -64,6 +64,7 @@ class FmQueryEngine:
         index: FmIndexData | FmDeviceIndex,
         *,
         use_sweep: bool | None = None,
+        use_verify: bool | None = None,
         strict: bool = False,
     ):
         """``strict=True`` is the debug/sanitizer mode (SURVEY.md section 5):
@@ -74,7 +75,13 @@ class FmQueryEngine:
         ``use_sweep`` enables the sorted-sweep hot path (ops/sweep.py) for
         HBM-resident indexes; None picks it automatically when the block
         payload exceeds VMEM scale, marks are present, and large batches are
-        expected.  Costs a second copy of the block payload in HBM."""
+        expected.  Costs a second copy of the block payload in HBM.
+
+        ``use_verify`` enables the seed-walk-verify fused count+locate
+        (ops/verify.py); None enables it whenever the index carries packed
+        text + marks (both regimes: it replaces most post-seed rank sweeps
+        with one text compare AND ships results as one packed transfer).
+        False forces the classic full-depth path."""
         self.strict = strict
         if isinstance(index, FmIndexData):
             if strict:
@@ -118,17 +125,35 @@ class FmQueryEngine:
         self._count_locate_fn = jax.jit(wrap(count_locate_capped), static_argnames=("cap",))
         self._seq_starts_host = np.asarray(self.device_index.seq_starts).astype(np.int64)
 
-        # Seed-walk-verify serving path (ops/verify.py): HBM-regime indexes
-        # built with packed text + marks take it for fused count+locate.
+        # Seed-walk-verify serving path (ops/verify.py): the default fused
+        # count+locate whenever the index carries packed text + marks.  It
+        # wins in BOTH regimes — HBM-resident via the sorted sweep, and
+        # VMEM-scale via the plain rank — because its single packed result
+        # bundle replaces the classic path's three device->host transfer
+        # round trips (the serving bottleneck once kernels are fast).
         dev = self.device_index
-        self._verify_enabled = (
-            dev.text_packed is not None and dev.blocks_sweep is not None and dev.has_marks
+        if use_verify is None:
+            use_verify = dev.text_packed is not None and dev.has_marks
+        self._verify_enabled = bool(
+            use_verify and dev.text_packed is not None and dev.has_marks
         )
         if self._verify_enabled:
-            from .verify import count_locate_verify, switch_step
+            from .verify import TEXT_PAD_WORDS, count_locate_verify, switch_step
 
             self._verify_s = switch_step(dev)
             self._verify_fn = jax.jit(wrap(count_locate_verify), static_argnames=("s",))
+            # Longest padded query the backward text-window gather covers;
+            # longer batches fall back to the classic path per dispatch.
+            spw = 8 if dev.alphabet.cardinality <= 16 else 4
+            self._verify_max_len = TEXT_PAD_WORDS * spw
+
+    def _use_verify_for(self, qsyms) -> bool:
+        """Verify path applies to this wire batch (padded length within the
+        text-window gather's reach)."""
+        if not self._verify_enabled:
+            return False
+        wire_len = qsyms.shape[1] * (2 if self._wire_packed else 1)
+        return wire_len <= self._verify_max_len
 
     # -- host-side encoding ------------------------------------------------
     def encode_queries(self, queries) -> tuple[jax.Array, jax.Array]:
@@ -213,7 +238,7 @@ class FmQueryEngine:
     def _flat_dispatch(self, n, qsyms, qlens, cap):
         """(counts, flat global positions, offsets) via the verify path when
         available, else the classic fused path."""
-        if self._verify_enabled:
+        if self._use_verify_for(qsyms):
             return self._flat_verify(n, qsyms, qlens, cap)
         out = self._count_locate_fn(self.device_index, qsyms, qlens, cap=cap)
         return self._flat_classic(out, n, cap)
@@ -344,7 +369,7 @@ class FmQueryEngine:
                 n = len(batch)
             # Issue the device program now (async dispatch); the host side of
             # the chosen path runs at assemble time.
-            if self._verify_enabled:
+            if self._use_verify_for(qsyms):
                 out = self._verify_fn(self.device_index, qsyms, qlens, s=self._verify_s)
                 return "verify", n, qsyms, qlens, out
             out = self._count_locate_fn(self.device_index, qsyms, qlens, cap=cap)
@@ -404,7 +429,7 @@ class FmQueryEngine:
                     self._count_locate_fn(self.device_index, qsyms, qlens, cap=cap),
                     self._count_fn(self.device_index, qsyms, qlens),
                 ]
-                if self._verify_enabled:
+                if self._use_verify_for(qsyms):
                     outs.append(
                         self._verify_fn(self.device_index, qsyms, qlens, s=self._verify_s)
                     )

@@ -102,7 +102,7 @@ def test_engine_with_sweep_end_to_end(rng):
         [("sweep2", index2_seq)], FmBuildArgs(lookup_table_kmer_len=4)
     )
     sweep_eng = FmQueryEngine(index2, use_sweep=True)
-    plain_eng = FmQueryEngine(index2, use_sweep=False)
+    plain_eng = FmQueryEngine(index2, use_sweep=False, use_verify=False)
     assert sweep_eng.device_index.blocks_sweep is not None
     assert plain_eng.device_index.blocks_sweep is None
     queries = [index2_seq[s : s + 20] for s in rng.integers(0, 49_000, size=200)]

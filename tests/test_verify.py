@@ -27,7 +27,7 @@ def _engine(seq, *, alphabet=Alphabet.NUCLEOTIDE, k=4):
 
 
 def _check_against_classic(index, eng, queries, cap=4):
-    classic = FmQueryEngine(index, use_sweep=False)
+    classic = FmQueryEngine(index, use_sweep=False, use_verify=False)
     assert not classic._verify_enabled
     c1, s1, l1, o1 = eng.count_locate_arrays(queries, cap=cap)
     c2, s2, l2, o2 = classic.count_locate_arrays(queries, cap=cap)
