@@ -62,9 +62,25 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+def config_rng(cfg) -> np.random.Generator:
+    """Deterministic PER-CONFIG stream: the text (and queries) for a config
+    must not depend on which other configs ran before it, or a cached index
+    silently mismatches the freshly drawn queries (the round-1 advisor's
+    SA-cache lesson, relearned at bench level in round 2)."""
+    import zlib
+
+    return np.random.default_rng([0, zlib.crc32(cfg["name"].encode())])
+
+
 def synth_text(cfg, rng) -> bytes:
     letters = b"ACGT" if cfg["kind"] == "dna" else b"ACDEFGHIKLMNPQRSTVWY"
     return bytes(rng.choice(np.frombuffer(letters, dtype=np.uint8), size=cfg["n"]))
+
+
+def _text_digest(seq: bytes) -> str:
+    import hashlib
+
+    return hashlib.blake2b(seq, digest_size=16).hexdigest()
 
 
 def build_or_load(cfg, seq: bytes):
@@ -73,19 +89,28 @@ def build_or_load(cfg, seq: bytes):
 
     os.makedirs(CACHE_DIR, exist_ok=True)
     cache = os.path.join(CACHE_DIR, cfg["name"] + ".npz")
+    digest_file = cache + ".digest"
+    digest = _text_digest(seq)
     if os.path.exists(cache):
-        t0 = time.perf_counter()
-        index = load_artifact(cache)
-        log(f"[{cfg['name']}] loaded cached index in {time.perf_counter()-t0:.1f}s")
-        if (
-            index.kmer_len == cfg["k"]
-            and index.resolved_mark_ratio == cfg["mark"]
-            and index.text_packed is not None
-        ):
-            return index, None
-        log(f"[{cfg['name']}] cached kmer_len/mark_ratio/text "
-            f"{index.kmer_len}/{index.resolved_mark_ratio}/"
-            f"{index.text_packed is not None} != {cfg['k']}/{cfg['mark']}/True; rebuilding")
+        cached_digest = None
+        if os.path.exists(digest_file):
+            with open(digest_file) as f:
+                cached_digest = f.read().strip()
+        if cached_digest != digest:
+            log(f"[{cfg['name']}] cached index text digest {cached_digest} != {digest}; rebuilding")
+        else:
+            t0 = time.perf_counter()
+            index = load_artifact(cache)
+            log(f"[{cfg['name']}] loaded cached index in {time.perf_counter()-t0:.1f}s")
+            if (
+                index.kmer_len == cfg["k"]
+                and index.resolved_mark_ratio == cfg["mark"]
+                and index.text_packed is not None
+            ):
+                return index, None
+            log(f"[{cfg['name']}] cached kmer_len/mark_ratio/text "
+                f"{index.kmer_len}/{index.resolved_mark_ratio}/"
+                f"{index.text_packed is not None} != {cfg['k']}/{cfg['mark']}/True; rebuilding")
     alphabet = Alphabet.NUCLEOTIDE if cfg["kind"] == "dna" else Alphabet.AMINO
     t0 = time.perf_counter()
     index = build_from_records(
@@ -101,16 +126,19 @@ def build_or_load(cfg, seq: bytes):
     build_s = time.perf_counter() - t0
     log(f"[{cfg['name']}] built in {build_s:.1f}s ({index.memory_report()['total']/1e6:.0f} MB host)")
     save_artifact(index, cache, compress=False)  # multi-GB random text: zlib costs minutes
+    with open(digest_file, "w") as f:
+        f.write(digest)
     return index, build_s
 
 
-def run_config(cfg, rng):
+def run_config(cfg):
     import jax
 
     from awry_tpu.ops import FmQueryEngine
 
     log(f"=== {cfg['name']}: {cfg['n']/1e6:.0f}M symbols, "
         f"{cfg['nq']} x {cfg['qlen']}-symbol queries, k={cfg['k']} ===")
+    rng = config_rng(cfg)
     seq = synth_text(cfg, rng)
     index, build_s = build_or_load(cfg, seq)
     engine = FmQueryEngine(index)
@@ -168,7 +196,6 @@ def main() -> None:
     import jax
 
     only = set(sys.argv[1:])
-    rng = np.random.default_rng(0)
     log(f"platform: {jax.default_backend()}, devices: {jax.devices()}")
 
     results = []
@@ -176,10 +203,15 @@ def main() -> None:
         if only and cfg["name"] not in only:
             continue
         try:
-            results.append(run_config(cfg, rng))
+            results.append(run_config(cfg))
         except Exception as e:  # noqa: BLE001
             log(f"[{cfg['name']}] FAILED: {type(e).__name__}: {e}")
             results.append({"config": cfg["name"], "error": f"{type(e).__name__}: {e}"})
+        # Drop the config's engine/device buffers before the next (largest
+        # config needs ~10 GB of the 16 GB HBM).
+        import gc
+
+        gc.collect()
 
     headline = next(
         (r for r in results if r.get("config") == CONFIGS[0]["name"] and "queries_per_sec" in r),
