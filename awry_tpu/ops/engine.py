@@ -10,6 +10,8 @@ number of distinct compiled programs stays small.
 
 from __future__ import annotations
 
+import time
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -114,6 +116,7 @@ class FmQueryEngine:
 
             return wrapped
 
+        self._wrap = wrap
         # One default per regime (round-1 verdict weak #4): VMEM-scale
         # indexes take the plain lane-major XLA rank, HBM-scale ones the
         # sorted sweep; the round-1 per-row Pallas paths (rank_pallas,
@@ -442,3 +445,57 @@ class FmQueryEngine:
     def locate(self, query) -> list[tuple[int, int]]:
         """locate_string analog."""
         return self.locate_batch([query])[0]
+
+    def device_sustained_qps(self, batches, *, cap: int = 8, trials: int = 3) -> float:
+        """Capacity-planning probe: sustained fused count+locate throughput
+        with every result REDUCED ON DEVICE to a handful of scalars per
+        batch, isolating device compute + dispatch from host result-transfer
+        bandwidth.
+
+        Runs the SAME fused program the public streaming path dispatches
+        (verify or classic, per `_use_verify_for`); nothing is skipped — the
+        reduction consumes all kernel outputs, so XLA cannot dead-code any
+        of the work.  On production hardware (PCIe-local host) the public
+        API approaches this number; through a slow host link the
+        result-bundle transfer dominates small-genome configs (BASELINE.md).
+
+        `batches`: pre-encoded ``(qsyms, qlens, n)`` tuples (encode_queries).
+        Returns the best trial's queries/sec.
+        """
+        from .locate import count_locate_capped
+        from .verify import count_locate_verify
+
+        def _reduce(outs):
+            return jnp.stack(
+                [o.astype(jnp.uint32).sum() for o in jax.tree_util.tree_leaves(outs)]
+            ).sum()
+
+        wrap = self._wrap
+        verify_digest = jax.jit(
+            lambda idx, qs, ql, s: _reduce(wrap(count_locate_verify)(idx, qs, ql, s=s)),
+            static_argnames=("s",),
+        )
+        classic_digest = jax.jit(
+            lambda idx, qs, ql, cap: _reduce(wrap(count_locate_capped)(idx, qs, ql, cap=cap)),
+            static_argnames=("cap",),
+        )
+
+        def one_pass():
+            digests = []
+            for qsyms, qlens, _n in batches:
+                if self._use_verify_for(qsyms):
+                    digests.append(verify_digest(self.device_index, qsyms, qlens, self._verify_s))
+                else:
+                    digests.append(classic_digest(self.device_index, qsyms, qlens, cap))
+            # One scalar fetch closes the pipeline (block_until_ready can
+            # return before tunnel results are readable; int() cannot).
+            return sum(int(d) for d in digests)
+
+        one_pass()  # compile + warm
+        total = sum(n for _, _, n in batches)
+        best = 0.0
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            one_pass()
+            best = max(best, total / (time.perf_counter() - t0))
+        return best

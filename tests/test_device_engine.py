@@ -204,3 +204,16 @@ def test_count_locate_arrays_and_stream_parity(rng):
         np.testing.assert_array_equal(s_seq, b_seq)
         np.testing.assert_array_equal(s_loc, b_loc)
         np.testing.assert_array_equal(s_off, b_off)
+
+
+def test_device_sustained_qps_probe(rng):
+    """The capacity probe runs the fused paths end to end (verify when
+    enabled, classic otherwise) and returns a positive rate."""
+    index, records = _build(Alphabet.NUCLEOTIDE, rng, n=1500, kmer_len=3)
+    text = records[0][1]
+    queries = [text[i : i + 12] for i in range(0, 96, 8)]
+    for use_verify in (None, False):
+        engine = FmQueryEngine(index, use_verify=use_verify)
+        batches = [(*engine.encode_queries(queries), len(queries))]
+        qps = engine.device_sustained_qps(batches, cap=2, trials=1)
+        assert qps > 0
