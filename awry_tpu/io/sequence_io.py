@@ -33,24 +33,35 @@ class SequenceData:
         return len(self.headers)
 
 
+# Whitespace removed from sequence bodies by BOTH fasta parsers (slurp and
+# stream) - one shared definition so the two paths cannot drift (they once
+# did: trailing tabs/spaces survived the stream path only).
+_SEQ_WHITESPACE = b" \t\x0b\x0c\r"
+
+
 def parse_fasta(data: bytes) -> list[tuple[str, bytes]]:
-    """Parse FASTA bytes into (header, sequence) records."""
+    """Parse FASTA bytes into (header, sequence) records.
+
+    Semantics shared bit-for-bit with stream_fasta (tested against it):
+    a header is a line whose FIRST byte is '>' (indented '>' is sequence
+    data), headers are whitespace-stripped, and all ASCII whitespace inside
+    sequence regions is dropped."""
     records: list[tuple[str, bytes]] = []
     header: str | None = None
     chunks: list[bytes] = []
     for line in data.split(b"\n"):
-        line = line.strip()
-        if not line:
-            continue
         if line.startswith(b">"):
             if header is not None:
                 records.append((header, b"".join(chunks)))
-            header = line[1:].decode("utf-8", errors="replace")
+            header = line[1:].strip().decode("utf-8", errors="replace")
             chunks = []
         else:
+            body = line.translate(None, _SEQ_WHITESPACE)
+            if not body:
+                continue
             if header is None:
                 raise ValueError("FASTA data before first '>' header")
-            chunks.append(line)
+            chunks.append(body)
     if header is not None:
         records.append((header, b"".join(chunks)))
     return records
@@ -159,7 +170,16 @@ def stream_fasta(path: str, alphabet: Alphabet, *, chunk_bytes: int = 1 << 26) -
                         break
                 body = seg[:next_hdr] if next_hdr >= 0 else seg
                 if body.shape[0]:
-                    keep = body[(body != 0x0A) & (body != 0x0D)]
+                    # Same whitespace set as parse_fasta (shared constant) so
+                    # the streaming and slurp paths produce identical text.
+                    keep = body[
+                        (body != 0x0A)
+                        & (body != 0x0D)
+                        & (body != 0x20)
+                        & (body != 0x09)
+                        & (body != 0x0B)
+                        & (body != 0x0C)
+                    ]
                     if keep.shape[0] and not headers:
                         raise ValueError("FASTA data before first '>' header")
                     out[write : write + keep.shape[0]] = keep
@@ -170,7 +190,9 @@ def stream_fasta(path: str, alphabet: Alphabet, *, chunk_bytes: int = 1 << 26) -
                     pos += next_hdr + 1
                 else:
                     pos = arr.shape[0]
-    if in_header and header_parts:
+    if in_header:
+        # EOF inside a header line - including a trailing bare '>', which
+        # forms an empty record exactly as parse_fasta's does.
         headers.append(b"".join(header_parts).decode("utf-8", errors="replace").strip())
         begin_record()
     if not headers:

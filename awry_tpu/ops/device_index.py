@@ -25,6 +25,16 @@ from ..alphabet import (
 from ..index import FmIndexData
 
 
+def _text_pad_words() -> int:
+    """ops/verify.py's TEXT_PAD_WORDS (local import: verify imports this
+    module).  One source of truth - raising the verify window must also grow
+    the device text's front padding, or its backward gather would clamp and
+    silently compare wrong text words."""
+    from .verify import TEXT_PAD_WORDS
+
+    return TEXT_PAD_WORDS
+
+
 def fused_row_words(alphabet: Alphabet, has_marks: bool = True) -> int:
     """uint32 words per fused block row: V*8 plane words + cardinality
     milestone words [+ 8 text-sampling mark words + 1 mark milestone],
@@ -154,7 +164,8 @@ def to_device(index: FmIndexData, *, sharding=None, device=None, build_sweep: bo
             # TEXT_PAD_WORDS zero words prepended: the verify path's
             # backward window gather never clamps (ops/verify.py).
             put("text_packed", np.concatenate([
-                np.zeros(64, dtype=np.uint32), index.text_packed.astype(np.uint32)
+                np.zeros(_text_pad_words(), dtype=np.uint32),
+                index.text_packed.astype(np.uint32),
             ]))
             if index.text_packed is not None
             else None

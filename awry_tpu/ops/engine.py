@@ -282,8 +282,9 @@ class FmQueryEngine:
         if redis.any():
             # Re-dispatch the flagged lanes through the classic full-depth
             # path.  Row selection happens ON DEVICE (the wire batch never
-            # round-trips back through the tunnel); padding slots repeat
-            # row idxs[0] and are sliced off by _flat_classic.
+            # round-trips back through the tunnel); padding slots select
+            # wire row 0 (np.zeros below) and are sliced off by
+            # _flat_classic's [:n].
             idxs = np.nonzero(redis)[0]
             b = _bucket(len(idxs))
             pad_idx = np.zeros(b, dtype=np.int32)
@@ -355,9 +356,11 @@ class FmQueryEngine:
     def count_locate_stream(self, query_batches, *, cap: int = 8, depth: int = 2):
         """Pipelined bulk serving: generator over pre-encoded or raw batches.
 
-        Dispatches up to `depth` device batches ahead before assembling
-        results, so host-side assembly and host<->device transfers overlap
-        device compute (JAX async dispatch).  Each yielded item matches
+        Keeps at most `depth` dispatched-but-unassembled batches in flight
+        (their wire arrays + result buffers are live on device - size depth
+        to the HBM headroom), so host-side assembly and host<->device
+        transfers overlap device compute (JAX async dispatch).  Each yielded
+        item matches
         count_locate_arrays' return.  `query_batches` items are either lists
         of str/bytes or pre-encoded ``(qsyms, qlens, n)`` tuples from
         encode_queries (n = true query count).
@@ -388,7 +391,7 @@ class FmQueryEngine:
 
         for batch in query_batches:
             inflight.append(dispatch(batch))
-            if len(inflight) > depth:
+            if len(inflight) >= depth:
                 yield assemble(*inflight.pop(0))
         while inflight:
             yield assemble(*inflight.pop(0))

@@ -43,6 +43,28 @@ def _seed_level(index: FmDeviceIndex, syms: jax.Array):
 _LEVEL_CHUNK = 1 << 21
 
 
+def _level_chunk(base: int, total: int) -> int:
+    """Chunk size for the fixed-shape level loop.
+
+    The chunk must DIVIDE every chunked level's size (levels are base**l):
+    dynamic_update_slice clamps out-of-range starts, so a non-dividing final
+    chunk would write at a wrong (clamped) offset.  chunk = base**m * 2**j
+    with 2**j | base divides base**l for every l > m (base**l = base**m *
+    base**(l-m) and 2**j | base), and never exceeds the buffer (<= total).
+    (Halving from `total` — the first scheme — broke for base 20 at k >= 6:
+    stripping 2s leaves a 5**k factor that 20**(k-1) lacks.)"""
+    chunk = 1
+    while chunk * base <= _LEVEL_CHUNK:
+        chunk *= base
+    # Fold in the powers of 2 that divide `base` (keeps the chunk near the
+    # cap without breaking divisibility).
+    twos = base & -base
+    while twos > 1 and chunk * 2 <= _LEVEL_CHUNK:
+        chunk *= 2
+        twos //= 2
+    return min(chunk, total)
+
+
 @functools.partial(jax.jit, donate_argnames=("dst_s", "dst_e"), static_argnames=("chunk",))
 def _extend_step(index: FmDeviceIndex, src_s, src_e, dst_s, dst_e, syms, size, off, *, chunk):
     """One chunk of one level: dst[off + i] = update(src[(off+i) % size],
@@ -74,13 +96,7 @@ def populate_kmer_table_device(index: FmDeviceIndex, kmer_len: int | None = None
     syms = jnp.asarray(raw_syms)
 
     total = base**k
-    # The chunk must DIVIDE every chunked level's size: dynamic_update_slice
-    # clamps out-of-range starts, so a non-dividing final chunk would write at
-    # a wrong (clamped) offset.  Halving from `total` keeps divisibility for
-    # every real alphabet (4^k and 20^k are 2-smooth enough).
-    chunk = total
-    while chunk > _LEVEL_CHUNK and chunk % 2 == 0:
-        chunk //= 2
+    chunk = _level_chunk(base, total)
     s0, e0 = _seed_level(index, syms)
     if k == 1:
         starts = np.asarray(s0).astype(np.int64)

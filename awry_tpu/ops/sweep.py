@@ -47,7 +47,6 @@ WINDOW_TILES = 8  # minimum tiles per window; window = 1024 blocks (160 KB nucle
 MAX_PAD_TILES = 2 * 64  # sweep arrays pad to this multiple so every pow2 wt <= 64 divides
 CHUNK = 128  # requests per grid step (= lane width)
 _FULL = 0xFFFFFFFF
-_SENTINEL_STEP = 0xFFFFFFFF  # "stepped to row 0" flag is unnecessary: kernel emits 0
 
 
 def pick_window_tiles(num_tiles: int, num_requests: int, row_words: int) -> int:

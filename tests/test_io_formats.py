@@ -251,6 +251,35 @@ def test_stream_fasta_matches_slurp(rng, tmp_path):
         stream_fasta(str(tmp_path / "bad.fasta"), Alphabet.NUCLEOTIDE, chunk_bytes=8)
 
 
+def test_stream_fasta_matches_slurp_edge_payloads(tmp_path):
+    """Adversarial payloads where the two parsers once diverged: trailing
+    spaces/tabs on sequence lines, padded headers, blank/whitespace-only
+    lines, empty records (incl. a trailing bare '>'), and an indented '>'
+    that is sequence data, not a header."""
+    from awry_tpu.io.sequence_io import concat_records, stream_fasta
+
+    payloads = [
+        b"> rec1 \nACGT \nTTAA\n>",               # padded header, trailing ws, bare '>'
+        b">a\nAC\tGT\n\n   \n>b\n\nGG  \n",        # tabs, whitespace-only lines
+        b">a\r\nACGT\r\n>empty\r\n>c\r\nTT\r\n",   # CRLF + empty record mid-file
+        b">a\nACGT\n  >notheader\nGG\n",           # indented '>' is data
+        b">only header no newline",
+        b">a\nACGT",                               # no trailing newline
+    ]
+    for pi, payload in enumerate(payloads):
+        p = str(tmp_path / f"edge_{pi}.fasta")
+        with open(p, "wb") as f:
+            f.write(payload)
+        slurped = concat_records(parse_fasta(payload), Alphabet.NUCLEOTIDE)
+        for chunk in (3, 7, 4096):
+            streamed = stream_fasta(p, Alphabet.NUCLEOTIDE, chunk_bytes=chunk)
+            np.testing.assert_array_equal(streamed.text, slurped.text, err_msg=f"{pi}/{chunk}")
+            np.testing.assert_array_equal(
+                streamed.start_positions, slurped.start_positions, err_msg=f"{pi}/{chunk}"
+            )
+            assert streamed.headers == slurped.headers, (pi, chunk)
+
+
 def test_awry_golden_full_file():
     """COMPLETE hand-computed .awry file for text 'ACGT', pinned byte for
     byte against the reference write order (src/fm_index_file.rs:42-106).

@@ -32,3 +32,36 @@ def test_builder_device_flag(rng):
         records, FmBuildArgs(lookup_table_kmer_len=4, build_kmer_table_on_device=True)
     )
     np.testing.assert_array_equal(a.kmer_table, b.kmer_table)
+
+
+def test_level_chunk_divides_every_level():
+    """The fixed-shape chunk must divide every chunked level size base**l
+    (dynamic_update_slice clamps, so a non-dividing chunk writes at a wrong
+    offset).  The halving-from-total scheme broke for base 20 at k >= 6."""
+    from awry_tpu.ops.kmer import _LEVEL_CHUNK, _level_chunk
+
+    for base in (4, 20):
+        for k in range(1, 14):
+            total = base**k
+            chunk = _level_chunk(base, total)
+            assert 0 < chunk <= min(total, _LEVEL_CHUNK)
+            size = base
+            for _level in range(1, k):
+                size *= base
+                assert size <= chunk or size % chunk == 0, (base, k, size, chunk)
+
+
+def test_device_table_chunked_level_path(rng, monkeypatch):
+    """Exercise the multi-chunk level path at test scale by shrinking the
+    chunk cap (covers the regime where amino k >= 6 crashed the build)."""
+    import awry_tpu.ops.kmer as kmer_mod
+
+    monkeypatch.setattr(kmer_mod, "_LEVEL_CHUNK", 50)
+    for alphabet, k in [(Alphabet.NUCLEOTIDE, 4), (Alphabet.AMINO, 2)]:
+        records = [("s", random_seq(alphabet, rng, 600))]
+        index = build_from_records(
+            records, FmBuildArgs(alphabet=alphabet, lookup_table_kmer_len=k)
+        )
+        host_table = populate_kmer_table(index)
+        device_table = populate_kmer_table_device(to_device(index))
+        np.testing.assert_array_equal(device_table, host_table)
