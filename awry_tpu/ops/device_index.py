@@ -55,6 +55,7 @@ def mark_words_offset(alphabet: Alphabet) -> int:
 @partial(jax.tree_util.register_dataclass, data_fields=[
     "blocks", "prefix_sums", "sampled_sa", "text_sampled_sa", "kmer_table", "seq_starts",
     "index_to_code", "code_to_index", "index_to_dense", "blocks_sweep", "text_packed",
+    "text_sweep",
 ], meta_fields=["alphabet", "sa_ratio", "bwt_len", "kmer_len", "has_marks", "mark_ratio"])
 @dataclasses.dataclass(frozen=True)
 class FmDeviceIndex:
@@ -94,6 +95,10 @@ class FmDeviceIndex:
     # Packed original text (FmIndexData.text_packed) for the seed-walk-verify
     # serving path (ops/verify.py); None when unavailable (.awry imports).
     text_packed: jax.Array | None = None
+    # Sweep layout of the padded text, 8-word rows transposed per 128-row
+    # tile: [num_text_tiles, 8, 128] (ops/sweep.py text_window_sweep).  Built
+    # with blocks_sweep; costs one extra text-sized copy in HBM.
+    text_sweep: jax.Array | None = None
 
     @property
     def num_planes(self) -> int:
@@ -153,13 +158,24 @@ def to_device(index: FmIndexData, *, sharding=None, device=None, build_sweep: bo
     )
     fused = build_fused_blocks(index)
     sweep_arr = None
+    text_sweep_arr = None
     if build_sweep:
         from .sweep import build_sweep_blocks
 
         sweep_arr = put("blocks_sweep", build_sweep_blocks(fused))
+        if index.text_packed is not None:
+            padded_text = np.concatenate(
+                [np.zeros(_text_pad_words(), dtype=np.uint32),
+                 index.text_packed.astype(np.uint32)]
+            )
+            nw8 = -(-padded_text.shape[0] // 8)
+            rows8 = np.zeros((nw8, 8), dtype=np.uint32)
+            rows8.reshape(-1)[: padded_text.shape[0]] = padded_text
+            text_sweep_arr = put("text_sweep", build_sweep_blocks(rows8))
     return FmDeviceIndex(
         blocks=put("blocks", fused),
         blocks_sweep=sweep_arr,
+        text_sweep=text_sweep_arr,
         text_packed=(
             # TEXT_PAD_WORDS zero words prepended: the verify path's
             # backward window gather never clamps (ops/verify.py).

@@ -305,6 +305,40 @@ def _pad_to(x: jax.Array, n: int) -> jax.Array:
     return jnp.concatenate([x, jnp.zeros((n - x.shape[0],), dtype=x.dtype)])
 
 
+def _chunk_budget(nchunks: int) -> int:
+    """Static per-call budget of uncovered CHUNKS recomputed by the plain
+    path.  Uncovered chunks are rare but REAL: sorted span tails (~1% of
+    chunks at the mean-span-sized window) and, on walk visits, chunks
+    straddling LF-band gaps (positions after an LF step cluster into
+    per-symbol bands; a chunk spanning the empty gap between bands exceeds
+    any window).  Before this fixup ONE such chunk sent the whole batch
+    through the full plain-gather fallback - measured 26 ms vs 3 ms per
+    chr1 walk visit.  Within a SORTED chunk, chunk coverage (first and last
+    lane in-window) implies every lane is covered, so whole-chunk fixup at
+    [budget, CHUNK] granularity is exact and keeps the compaction machinery
+    at nchunks (not request) size."""
+    return min(nchunks, max(4, nchunks >> 5))
+
+
+def _compact_flagged_chunks(covered_c: jax.Array, budget: int):
+    """Ids of up to `budget` uncovered chunks, fixed shape.  Returns
+    (idx int32[budget], valid bool[budget], overflow bool[]).  Invalid
+    slots hold chunk 0; callers scatter results back through a dropped
+    out-of-range destination for those slots."""
+    flagged = ~covered_c
+    n = flagged.shape[0]
+    rank = jnp.cumsum(flagged.astype(jnp.int32)) - 1
+    total = rank[-1] + 1
+    slot = jnp.where(flagged & (rank < budget), rank, budget)
+    idx = (
+        jnp.zeros((budget + 1,), jnp.int32)
+        .at[slot]
+        .set(jnp.arange(n, dtype=jnp.int32), mode="drop")[:budget]
+    )
+    valid = jnp.arange(budget, dtype=jnp.int32) < total
+    return idx, valid, total > budget
+
+
 def _unsort(sval: jax.Array, *arrays):
     """Restore original request order (sval is unique and increasing in the
     original id); drop padded tail lanes at the caller via [:r]."""
@@ -342,8 +376,33 @@ def occurrence_sweep(index: FmDeviceIndex, pos: jax.Array, sym: jax.Array, *, in
         index.blocks_sweep,
         index.blocks_sweep,
     ).reshape(-1)
-    cov_s = jnp.broadcast_to(covered_c[:, None], (nchunks, CHUNK)).reshape(-1)
-    occ, cov = _unsort(sval, occ_s, cov_s)
+    # Whole-chunk coverage fixup: the few uncovered chunks are recomputed by
+    # the plain-gather rank on a fixed budget, so a straggler chunk no longer
+    # forces the caller's full-batch fallback (see _chunk_budget).
+    from .rank import occurrence
+
+    bc = _chunk_budget(nchunks)
+    fcidx, fvalid, overflow = _compact_flagged_chunks(covered_c, bc)
+    spos2 = spos.reshape(nchunks, CHUNK)
+    sym2 = (sval & ((1 << _VAL_SHIFT) - 1)).astype(jnp.int32).reshape(nchunks, CHUNK)
+    fix = occurrence(index, spos2[fcidx].reshape(-1), sym2[fcidx].reshape(-1))
+    occ2 = occ_s.reshape(nchunks, CHUNK)
+    dst = jnp.where(fvalid, fcidx, nchunks)
+    occ_s = occ2.at[dst].set(fix.reshape(bc, CHUNK), mode="drop").reshape(-1)
+    # All lanes are exact after the fixup unless the budget overflowed (then
+    # the still-uncovered lanes stay flagged for the caller's fallback).
+    # The cov unsort is a full extra sort (~1.5 ms at 256k); pay it only in
+    # the overflow branch — the hot path returns constant all-covered.
+    occ = _unsort(sval, occ_s)[0]
+    npad = nchunks * CHUNK
+    cov = jax.lax.cond(
+        overflow,
+        lambda: _unsort(
+            sval,
+            jnp.broadcast_to(covered_c[:, None], (nchunks, CHUNK)).reshape(-1),
+        )[0],
+        lambda: jnp.ones((npad,), bool),
+    )
     return occ[:r], cov[:r]
 
 
@@ -400,6 +459,30 @@ def _sweep_visit(index: FmDeviceIndex, pos: jax.Array, pay: jax.Array, interp: b
       index.blocks_sweep, index.blocks_sweep)
     stepped, mark = step_s.reshape(-1), mark_s.reshape(-1)
 
+    # Whole-chunk coverage fixup (see _chunk_budget): walk visits routinely
+    # produce LF-band-boundary chunks, so the budget path is the norm here,
+    # and the full fallback below triggers only on budget overflow.
+    bc = _chunk_budget(nchunks)
+    fcidx, fvalid, overflow = _compact_flagged_chunks(covered_c, bc)
+    spos2 = spos.reshape(nchunks, CHUNK)
+    fpos = spos2[fcidx].reshape(-1)
+    rows_f = fetch_rows_t(index, fpos)
+    st_f = backstep_from_rows_t(index, rows_f, fpos)
+    mk_f = (_mark_rank_t(index, rows_f, fpos) << 1) | _mark_bit_t(index, rows_f, fpos)
+    dst = jnp.where(fvalid, fcidx, nchunks)
+    stepped = (
+        stepped.reshape(nchunks, CHUNK)
+        .at[dst]
+        .set(st_f.reshape(bc, CHUNK), mode="drop")
+        .reshape(-1)
+    )
+    mark = (
+        mark.reshape(nchunks, CHUNK)
+        .at[dst]
+        .set(mk_f.reshape(bc, CHUNK), mode="drop")
+        .reshape(-1)
+    )
+
     def fallback():
         cov = jnp.broadcast_to(covered_c[:, None], (nchunks, CHUNK)).reshape(-1)
         rows_t = fetch_rows_t(index, spos)
@@ -407,7 +490,7 @@ def _sweep_visit(index: FmDeviceIndex, pos: jax.Array, pay: jax.Array, interp: b
         mk = (_mark_rank_t(index, rows_t, spos) << 1) | _mark_bit_t(index, rows_t, spos)
         return jnp.where(cov, stepped, st), jnp.where(cov, mark, mk)
 
-    stepped, mark = jax.lax.cond(jnp.all(covered_c), lambda: (stepped, mark), fallback)
+    stepped, mark = jax.lax.cond(overflow, fallback, lambda: (stepped, mark))
     return spos, spay, stepped, mark
 
 
@@ -481,6 +564,165 @@ def backstep_mark_sweep(index: FmDeviceIndex, rows: jax.Array, *, interpret: boo
         index.blocks_sweep,
         index.blocks_sweep,
     )
-    cov_s = jnp.broadcast_to(covered_c[:, None], (nchunks, CHUNK)).reshape(-1)
-    stepped, mark, cov = _unsort(sval, step_s.reshape(-1), mark_s.reshape(-1), cov_s)
+    stepped, mark = step_s.reshape(-1), mark_s.reshape(-1)
+    from .locate import _mark_bit_t, _mark_rank_t
+    from .rank import backstep_from_rows_t, fetch_rows_t
+
+    bc = _chunk_budget(nchunks)
+    fcidx, fvalid, overflow = _compact_flagged_chunks(covered_c, bc)
+    fpos = spos.reshape(nchunks, CHUNK)[fcidx].reshape(-1)
+    rows_f = fetch_rows_t(index, fpos)
+    st_f = backstep_from_rows_t(index, rows_f, fpos)
+    mk_f = (_mark_rank_t(index, rows_f, fpos) << 1) | _mark_bit_t(index, rows_f, fpos)
+    dst = jnp.where(fvalid, fcidx, nchunks)
+    stepped = (
+        stepped.reshape(nchunks, CHUNK)
+        .at[dst]
+        .set(st_f.reshape(bc, CHUNK), mode="drop")
+        .reshape(-1)
+    )
+    mark = (
+        mark.reshape(nchunks, CHUNK)
+        .at[dst]
+        .set(mk_f.reshape(bc, CHUNK), mode="drop")
+        .reshape(-1)
+    )
+    cov_c = covered_c | jnp.logical_not(overflow)
+    cov_s = jnp.broadcast_to(cov_c[:, None], (nchunks, CHUNK)).reshape(-1)
+    stepped, mark, cov = _unsort(sval, stepped, mark, cov_s)
     return stepped[:r], mark[:r], cov[:r]
+
+
+# ---------------------------------------------------------------------------
+# Text window sweep: K consecutive packed-text words per request
+# ---------------------------------------------------------------------------
+
+def _text_kernel(wt: int, nr: int, k: int):
+    """Emit word (wbase - j) for j in 0..k-1, where wbase = anchor*8 + off
+    + k - 1, from `nr` consecutive 8-word text rows selected per lane."""
+
+    def kernel(cw_ref, row_ref, off_ref, winA_ref, winB_ref, *out_refs):
+        c = pl.program_id(0)
+        r = c % 8
+        base = cw_ref[c] * (wt * CHUNK)
+        anchor = row_ref[0, r, :][None, :].astype(jnp.int32) - base  # [1, 128]
+        o = off_ref[0, r, :].astype(jnp.int32)  # [128], in [0, 8)
+        rows = [_row_select(winA_ref, winB_ref, anchor + i) for i in range(nr)]
+        for j, out in enumerate(out_refs):
+            idx = o + (k - 1 - j)  # word slot within the nr-row span
+            acc = rows[0][0]
+            for i in range(1, nr * 8):
+                acc = jnp.where(idx == i, rows[i // 8][i % 8], acc)
+            out[0, r, :] = acc
+
+    return kernel
+
+
+def _text_grid_spec(nchunks: int, nwin: int, wt: int, k: int):
+    req = pl.BlockSpec((1, 8, CHUNK), lambda c, cw: (c // 8, 0, 0),
+                       memory_space=pltpu.VMEM)
+
+    def win_map(off):
+        return lambda c, cw: (jnp.minimum(cw[c] + off, nwin - 1), 0, 0)
+
+    win = lambda off: pl.BlockSpec(  # noqa: E731
+        (wt, 8, CHUNK), win_map(off), memory_space=pltpu.VMEM
+    )
+    out = pl.BlockSpec((1, 8, CHUNK), lambda c, cw: (c // 8, 0, 0),
+                       memory_space=pltpu.VMEM)
+    return pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nchunks,),
+        in_specs=[req, req, win(0), win(1)],
+        out_specs=tuple(out for _ in range(k)),
+    )
+
+
+def text_sweep_suits(index: FmDeviceIndex, num_requests: int) -> bool:
+    """True when the text sweep can serve `num_requests` window-covered."""
+    if index.text_sweep is None:
+        return False
+    nt = index.text_sweep.shape[0]
+    return pick_window_tiles(nt, num_requests, 8) >= _want_window_tiles(nt, num_requests)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+def text_window_sweep(index: FmDeviceIndex, wbase: jax.Array, k: int, *, interpret: bool = False):
+    """words[i, j] = text_packed[wbase[i] - j] for j in 0..k-1 via the sorted
+    sweep over the 8-word-row text layout (index.text_sweep).
+
+    The plain XLA element gather runs issue-bound at ~80M words/s; streaming
+    sorted row windows through VMEM serves the same reads at sweep rates
+    (BASELINE.md round-2 measurements).  wbase values are clamped into the
+    padded text; out-of-range lanes return in-bounds garbage that callers
+    mask (ops/verify.py masks d >= qlen distances and failed candidates).
+    """
+    assert k >= 2
+    r = wbase.shape[0]
+    nt = index.text_sweep.shape[0]
+    wb = jnp.minimum(wbase, jnp.uint32(index.text_packed.shape[0] - 1))
+    lo = wb - jnp.uint32(k - 1)  # lowest word read; wbase >= TEXT_PAD_WORDS >= k-1
+    anchor = lo >> 3
+    off = (lo & jnp.uint32(7)).astype(jnp.int32)
+    nr = ((k + 6) >> 3) + 1  # rows covering k consecutive words, worst alignment
+    wt = pick_window_tiles(nt, r, 8)
+    nwin = nt // wt
+
+    # Sort by anchor row; payload (id << 3) | off reconstructs wbase.
+    val = (jnp.arange(r, dtype=jnp.int32) << 3) | off
+    nchunks = (-(-r // CHUNK) + 7) // 8 * 8
+    npad = nchunks * CHUNK
+    idx = jnp.arange(npad, dtype=jnp.int32)
+    anc_p = jnp.where(idx < r, _pad_to(anchor, npad), anchor[r - 1])
+    val_p = jnp.where(idx < r, _pad_to(val, npad), idx << 3)
+    sanc, sval = jax.lax.sort_key_val(anc_p, val_p)
+    first = sanc[::CHUNK].astype(jnp.int32)
+    last = sanc[CHUNK - 1 :: CHUNK].astype(jnp.int32)
+    win = first // (wt * CHUNK)
+    covered_c = (last + (nr - 1) - win * (wt * CHUNK)) < 2 * wt * CHUNK
+    soff = (sval & 7).astype(jnp.int32)
+
+    outs = pl.pallas_call(
+        _text_kernel(wt, nr, k),
+        grid_spec=_text_grid_spec(nchunks, nwin, wt, k),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((nchunks // 8, 8, CHUNK), jnp.uint32) for _ in range(k)
+        ),
+        interpret=interpret,
+    )(
+        win,
+        sanc.reshape(nchunks // 8, 8, CHUNK),
+        soff.reshape(nchunks // 8, 8, CHUNK),
+        index.text_sweep,
+        index.text_sweep,
+    )
+    outs = [o.reshape(-1) for o in outs]
+
+    # Whole-chunk fixup for uncovered chunks (see _chunk_budget).
+    swb = (sanc.astype(jnp.uint32) << 3) + soff.astype(jnp.uint32) + jnp.uint32(k - 1)
+    bc = _chunk_budget(nchunks)
+    fcidx, fvalid, overflow = _compact_flagged_chunks(covered_c, bc)
+    fw = swb.reshape(nchunks, CHUNK)[fcidx].reshape(-1)
+    fix = index.text_packed[
+        fw[:, None].astype(jnp.int32) - jnp.arange(k, dtype=jnp.int32)[None, :]
+    ]  # [bc*CHUNK, k]
+    dst = jnp.where(fvalid, fcidx, nchunks)
+    outs = [
+        outs[j]
+        .reshape(nchunks, CHUNK)
+        .at[dst]
+        .set(fix[:, j].reshape(bc, CHUNK), mode="drop")
+        .reshape(-1)
+        for j in range(k)
+    ]
+
+    def full_fallback():
+        allfix = index.text_packed[
+            swb[:, None].astype(jnp.int32) - jnp.arange(k, dtype=jnp.int32)[None, :]
+        ]
+        cov = jnp.broadcast_to(covered_c[:, None], (nchunks, CHUNK)).reshape(-1)
+        return tuple(jnp.where(cov, outs[j], allfix[:, j]) for j in range(k))
+
+    outs = jax.lax.cond(overflow, full_fallback, lambda: tuple(outs))
+    unsorted = _unsort(sval, *outs)
+    return jnp.stack([u[:r] for u in unsorted], axis=1)

@@ -85,13 +85,23 @@ def compare_text_suffixes(
     if jhi > TEXT_PAD_WORDS:
         raise ValueError(f"padded query length {L} exceeds verify window")
 
-    # rev[j] is the symbol-reversed text word at index (e>>lg) - j; gather
-    # the needed span with ONE flat advanced-index gather (a vmapped
-    # dynamic_slice mis-lowers ~6x slower at this size — see
-    # scripts/micro_textgather.py).
-    w_base = (e >> lg).astype(jnp.int32) + TEXT_PAD_WORDS
-    cols = jnp.arange(jlo, jhi + 1, dtype=jnp.int32)  # ascending j
-    words = index.text_packed[w_base[:, None] - cols[None, :]]  # [B, jhi-jlo+1]
+    # rev[j] is the symbol-reversed text word at index (e>>lg) - j.  The
+    # random-word reads go through the sorted text sweep when the index
+    # carries the sweep layout (streams 8-word text rows through VMEM;
+    # ops/sweep.py text_window_sweep), else ONE flat advanced-index gather
+    # (a vmapped dynamic_slice mis-lowers ~6x slower at this size — see
+    # scripts/micro_textgather.py; the plain element gather is issue-bound
+    # at ~80M words/s, ~10 ms of a 131k-query chr1 batch).
+    from .sweep import _auto_interpret, text_sweep_suits, text_window_sweep
+
+    K = jhi - jlo + 1
+    if text_sweep_suits(index, e.shape[0]):
+        wb = ((e >> lg) + jnp.uint32(TEXT_PAD_WORDS)) - jnp.uint32(jlo)
+        words = text_window_sweep(index, wb, K, interpret=_auto_interpret())
+    else:
+        w_base = (e >> lg).astype(jnp.int32) + TEXT_PAD_WORDS
+        cols = jnp.arange(jlo, jhi + 1, dtype=jnp.int32)  # ascending j
+        words = index.text_packed[w_base[:, None] - cols[None, :]]  # [B, K]
     rev = _reverse_symbols(words, bits)
 
     def rev_at(j):

@@ -50,22 +50,64 @@ def test_occurrence_sweep_matches_host(alphabet, rng):
     np.testing.assert_array_equal(occ.astype(np.int64), host.astype(np.int64))
 
 
-def test_occurrence_sweep_flags_uncovered(rng):
-    """A sparse batch spanning far more blocks than two windows flags the
-    uncovered lanes instead of silently mis-serving them."""
+def test_occurrence_sweep_fixes_uncovered(rng):
+    """A sparse batch spanning far more blocks than two windows is still
+    served EXACTLY: lanes outside their chunk's windows are recomputed by
+    the in-call plain-gather fixup (ops/sweep.py _fixup_budget), so the
+    result is correct everywhere and cov reports all-covered."""
     import jax.numpy as jnp
 
     index, dev = _dev(Alphabet.NUCLEOTIDE, rng, n=6_000_000)
     # CHUNK requests spread over the whole index: one chunk spans ~23k
-    # blocks, beyond even two maximum (64-tile = 8192-block) windows.
+    # blocks, beyond even two maximum (64-tile = 8192-block) windows, so
+    # most lanes take the fixup path.
     pos = np.linspace(0, index.bwt_len - 1, CHUNK).astype(np.uint32)
     sym = np.ones(CHUNK, dtype=np.int32)
     occ, cov = occurrence_sweep(dev, jnp.asarray(pos), jnp.asarray(sym), interpret=True)
     cov = np.asarray(cov)
-    assert not cov.all()
+    assert cov.all()
     host = he.occurrence(index, pos.astype(np.int64), sym.astype(np.int64))
-    got = np.asarray(occ).astype(np.int64)
-    np.testing.assert_array_equal(got[cov], host[cov.astype(bool)].astype(np.int64))
+    np.testing.assert_array_equal(np.asarray(occ).astype(np.int64), host.astype(np.int64))
+
+
+def test_text_window_sweep_matches_gather(rng):
+    """text_window_sweep returns exactly text_packed[wbase - j] for every
+    request, including uncovered-chunk fixups (widely spread requests)."""
+    import jax.numpy as jnp
+
+    from awry_tpu.ops.sweep import text_window_sweep
+
+    index, dev = _dev(Alphabet.NUCLEOTIDE, rng, n=2_000_000)
+    assert dev.text_sweep is not None
+    nw = dev.text_packed.shape[0]
+    k = 4
+    r = 700  # non-multiple of CHUNK exercises padding
+    wbase = np.concatenate([
+        rng.integers(k, nw, size=r - 4).astype(np.uint32),
+        # extremes: clamped high value, minimum, and a tight cluster
+        np.array([nw + 100, k, k + 1, nw - 1], dtype=np.uint32),
+    ])
+    got = np.asarray(text_window_sweep(dev, jnp.asarray(wbase), k, interpret=True))
+    text = np.asarray(dev.text_packed)
+    wb = np.minimum(wbase, nw - 1).astype(np.int64)
+    want = text[wb[:, None] - np.arange(k)[None, :]]
+    np.testing.assert_array_equal(got, want)
+
+
+def test_backstep_sweep_band_gap_exact(rng):
+    """Rows clustered into two distant bands (the LF-walk's post-step shape):
+    the chunk straddling the empty gap between bands exceeds any window, and
+    the per-lane fixup must keep every stepped row exact."""
+    import jax.numpy as jnp
+
+    index, dev = _dev(Alphabet.NUCLEOTIDE, rng, n=3_000_000)
+    lo = rng.integers(0, 40_000, size=300).astype(np.uint32)
+    hi = rng.integers(index.bwt_len - 40_000, index.bwt_len, size=300).astype(np.uint32)
+    rows = np.concatenate([lo, hi])
+    stepped, _mark, cov = backstep_mark_sweep(dev, jnp.asarray(rows), interpret=True)
+    assert np.asarray(cov).all()
+    host_stepped = he.backstep(index, rows.astype(np.int64))
+    np.testing.assert_array_equal(np.asarray(stepped).astype(np.int64), host_stepped)
 
 
 @pytest.mark.parametrize("alphabet", ALPHABETS)
