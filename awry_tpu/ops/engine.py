@@ -100,19 +100,37 @@ class FmQueryEngine:
             self.device_index = to_device(index, build_sweep=use_sweep)
         else:
             self.device_index = index
+        from ..alphabet import index_to_dense_table
         from .locate import count_locate_capped
-        from .search import unpack_nibbles
+        from .search import unpack_crumbs, unpack_nibbles
 
         # Wire format: alphabets with cardinality <= 16 (nucleotide) ship
-        # queries nibble-packed; the kernels unpack on device.
+        # queries nibble-packed (uint8, 4 bits/symbol); batches whose
+        # in-range symbols are all dense encoding symbols (pure A/C/G/T -
+        # the overwhelmingly common read shape) ship crumb-packed (int8,
+        # 2 bits/symbol).  The wire dtype IS the mode tag: it reaches the
+        # jitted wrappers as part of the abstract value, so the unpack
+        # branch is static and pre-encoded (qsyms, qlens[, n]) tuples flow
+        # through every existing call site unchanged.
         self._wire_packed = self.device_index.alphabet.cardinality <= 16
+        if self._wire_packed:
+            dense_lut = index_to_dense_table(self.device_index.alphabet)
+            self._crumb_lut = dense_lut  # symbol index -> dense code or -1
+            self._crumb_inv = np.flatnonzero(dense_lut >= 0).astype(np.int8)
+        else:
+            self._crumb_lut = self._crumb_inv = None
 
         def wrap(kernel):
             if not self._wire_packed:
                 return kernel
+            crumb_inv = self._crumb_inv
 
             def wrapped(idx, qwire, qlens, **kw):
-                return kernel(idx, unpack_nibbles(qwire), qlens, **kw)
+                if qwire.dtype == jnp.int8:
+                    syms = unpack_crumbs(qwire, crumb_inv)
+                else:
+                    syms = unpack_nibbles(qwire)
+                return kernel(idx, syms, qlens, **kw)
 
             return wrapped
 
@@ -155,8 +173,14 @@ class FmQueryEngine:
         text-window gather's reach)."""
         if not self._verify_enabled:
             return False
-        wire_len = qsyms.shape[1] * (2 if self._wire_packed else 1)
+        wire_len = qsyms.shape[1] * self._wire_mult(qsyms)
         return wire_len <= self._verify_max_len
+
+    def _wire_mult(self, qwire) -> int:
+        """Symbols per wire byte for this batch (the dtype tags the mode)."""
+        if not self._wire_packed:
+            return 1
+        return 4 if qwire.dtype == jnp.int8 else 2
 
     # -- host-side encoding ------------------------------------------------
     def encode_queries(self, queries) -> tuple[jax.Array, jax.Array]:
@@ -169,6 +193,18 @@ class FmQueryEngine:
         """
         qsyms, qlens = encode_query_batch(self.device_index.alphabet, queries)
         if self._wire_packed:
+            # Crumb (2-bit) wire when every IN-RANGE symbol is a dense
+            # encoding symbol (pure A/C/G/T; sentinels/ambiguity force the
+            # nibble wire - '$' encodes to 0, which only padding may hold).
+            dense = self._crumb_lut[qsyms]  # int8 [B, L], -1 = not dense
+            L = qsyms.shape[1]
+            in_range = np.arange(L, dtype=np.int32)[None, :] >= (L - qlens[:, None])
+            if ((dense >= 0) | ~in_range).all():
+                d = np.maximum(dense, 0).astype(np.uint8)
+                crumb = (
+                    d[:, 0::4] | (d[:, 1::4] << 2) | (d[:, 2::4] << 4) | (d[:, 3::4] << 6)
+                ).astype(np.uint8).view(np.int8)
+                return jnp.asarray(crumb), jnp.asarray(qlens)
             packed = (qsyms[:, 0::2] | (qsyms[:, 1::2] << 4)).astype(np.uint8)
             return jnp.asarray(packed), jnp.asarray(qlens)
         return jnp.asarray(qsyms), jnp.asarray(qlens)
@@ -196,9 +232,12 @@ class FmQueryEngine:
         qs = np.asarray(qsyms)
         ql = np.asarray(qlens)
         card = self.device_index.alphabet.cardinality
-        l = qs.shape[1] * (2 if self._wire_packed else 1)
+        mult = self._wire_mult(qsyms)
+        l = qs.shape[1] * mult
         if (ql < 0).any() or (ql > l).any():
             raise ValueError(f"wire batch: query length outside [0, {l}]")
+        if self._wire_packed and mult == 4:
+            return  # every 2-bit crumb decodes to a dense symbol index
         if self._wire_packed:
             syms = np.concatenate([qs & 0xF, qs >> 4], axis=None)
         else:
@@ -426,20 +465,25 @@ class FmQueryEngine:
         TPU).  Dummy batches go through encode_queries itself, so the warmed
         shapes and wire format are exactly the serving ones."""
         alphabet = self.device_index.alphabet
-        letter = chr(index_to_ascii_table(alphabet)[alphabet.ambiguity_idx])
+        # Ambiguity letter -> the nibble/raw wire; for packed alphabets a
+        # second pure-dense letter warms the crumb (2-bit) wire programs.
+        letters = [chr(index_to_ascii_table(alphabet)[alphabet.ambiguity_idx])]
+        if self._wire_packed:
+            letters.append(chr(index_to_ascii_table(alphabet)[int(self._crumb_inv[0])]))
         for b in batch_sizes:
             for l in query_lens:
-                queries = [letter * max(1, l)] * max(1, b)
-                qsyms, qlens = self.encode_queries(queries)
-                outs = [
-                    self._count_locate_fn(self.device_index, qsyms, qlens, cap=cap),
-                    self._count_fn(self.device_index, qsyms, qlens),
-                ]
-                if self._use_verify_for(qsyms):
-                    outs.append(
-                        self._verify_fn(self.device_index, qsyms, qlens, s=self._verify_s)
-                    )
-                jax.block_until_ready(outs)
+                for letter in letters:
+                    queries = [letter * max(1, l)] * max(1, b)
+                    qsyms, qlens = self.encode_queries(queries)
+                    outs = [
+                        self._count_locate_fn(self.device_index, qsyms, qlens, cap=cap),
+                        self._count_fn(self.device_index, qsyms, qlens),
+                    ]
+                    if self._use_verify_for(qsyms):
+                        outs.append(
+                            self._verify_fn(self.device_index, qsyms, qlens, s=self._verify_s)
+                        )
+                    jax.block_until_ready(outs)
 
     def count(self, query) -> int:
         """count_string analog."""

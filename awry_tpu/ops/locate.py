@@ -129,6 +129,10 @@ def lf_walk(index: FmDeviceIndex, rows: jax.Array, *, backstep_fn=None) -> jax.A
     when the index carries mark data and no backstep override is given
     (served by the sorted sweep when the index carries the sweep layout).
     """
+    if backstep_fn is None and index.has_marks and index.mark_ratio == 1:
+        # Every row is marked and mark_rank(row) == row: the walk is one
+        # element gather (text_sampled_sa is the full inverse-permuted SA).
+        return index.text_sampled_sa[rows]
     if backstep_fn is None and index.has_marks and index.blocks_sweep is not None:
         from .sweep import marked_walk_sweep, sweep_suits
 

@@ -42,6 +42,25 @@ def _select_i32(table, idx: jax.Array) -> jax.Array:
     return out
 
 
+def unpack_crumbs(qpacked: jax.Array, dense_to_index) -> jax.Array:
+    """Expand a crumb-packed (2-bit) query matrix int8[B, L//4] back to
+    int8[B, L] symbol indices on device (crumb j of a byte at bits 2j =
+    column 4*byte + j).  The wire format for nucleotide batches whose
+    in-range symbols are all dense encoding symbols (A/C/G/T): the upload
+    link is the serving bottleneck through a slow host<->device relay, and
+    2 bits halve it again vs the nibble wire.  ``dense_to_index``: static
+    int8[num_encoding_symbols] LUT back to symbol indices (A,C,G,T ->
+    1,2,3,5); padding crumbs decode to 'A' and are masked by qlens
+    everywhere downstream (search_ranges/compare_text_suffixes)."""
+    b, quarter = qpacked.shape
+    w = jax.lax.bitcast_convert_type(qpacked, jnp.uint8)
+    parts = [
+        ((w >> jnp.uint8(2 * i)) & jnp.uint8(3)).astype(jnp.int32) for i in range(4)
+    ]
+    dense = jnp.stack(parts, axis=-1).reshape(b, quarter * 4)
+    return jnp.asarray(np.asarray(dense_to_index, dtype=np.int8))[dense]
+
+
 def unpack_nibbles(qpacked: jax.Array) -> jax.Array:
     """Expand a nibble-packed query matrix uint8[B, L//2] (low nibble =
     even column) back to int8[B, L] on device.  The wire format for

@@ -44,10 +44,27 @@ from .search import counts_from_ranges, search_ranges
 TEXT_PAD_WORDS = 64  # zero words prepended to the device text (device_index.py)
 
 
+SPURIOUS_TARGET = 0.02  # expected spurious candidates per lane at the handover
+
+
 def switch_step(index: FmDeviceIndex) -> int:
-    """Consumed-symbol count at which the search hands over to the walk:
-    the k-mer seed plus 4 sweep steps (expected residual width n / base^S)."""
-    return max(2, index.kmer_len + 4)
+    """Consumed-symbol count at which the search hands over to the walk.
+
+    Scale-aware: deep enough that the expected residual range width on
+    random text, bwt_len / base^S, drops under SPURIOUS_TARGET — then the
+    wide-lane fraction (~= that expectation for small values) stays inside
+    the on-device wide_groups budget (batch/32) and classic-path
+    redispatches are rare at every index scale.  A fixed ``kmer_len + 4``
+    undershoots at GRCh38 scale (3.1e9 / 4^17 ~= 0.18 -> ~16% wide lanes,
+    mass redispatch of 100 bp queries) and overshoots on small or amino
+    indexes (wasted rank sweeps).  Never below the k-mer seed: the seed is
+    a single gather, so stopping earlier saves nothing.
+    """
+    import math
+
+    base = max(2, index.alphabet.cardinality - 2)  # dense searchable symbols
+    need = math.ceil(math.log(max(2.0, index.bwt_len / SPURIOUS_TARGET), base))
+    return max(2, index.kmer_len, need)
 
 
 def _reverse_symbols(word: jax.Array, bits: int) -> jax.Array:

@@ -47,9 +47,9 @@ CONFIGS = [
     # dominated by the fixed per-dispatch round trips (BASELINE.md); the
     # larger wire batch amortizes them exactly as a production server would.
     dict(name="ecoli_4.6Mbp_dna", kind="dna", n=4_600_000, nq=524_288, qlen=30, k=10, mark=1),
-    dict(name="chr20_64Mbp_dna", kind="dna", n=64_000_000, nq=131_072, qlen=30, k=13, mark=2),
-    dict(name="swissprot_20Mres_amino", kind="amino", n=20_000_000, nq=65_536, qlen=12, k=5, mark=2),
-    dict(name="chr1_250Mbp_dna", kind="dna", n=250_000_000, nq=131_072, qlen=30, k=13, mark=2),
+    dict(name="chr20_64Mbp_dna", kind="dna", n=64_000_000, nq=131_072, qlen=30, k=13, mark=1),
+    dict(name="swissprot_20Mres_amino", kind="amino", n=20_000_000, nq=65_536, qlen=12, k=5, mark=1),
+    dict(name="chr1_250Mbp_dna", kind="dna", n=250_000_000, nq=131_072, qlen=30, k=13, mark=1),
     dict(name="grch38_3.1Gbp_dna", kind="dna", n=3_100_000_000, nq=131_072, qlen=100, k=13, mark=4),
 ]
 

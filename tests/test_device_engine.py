@@ -123,6 +123,33 @@ def test_marked_walk_matches_row_sampled_walk(rng):
     np.testing.assert_array_equal(fast, slow)
 
 
+def test_mark1_walk_is_direct_gather(rng):
+    """At locate_mark_ratio=1 the walk degenerates to text_sampled_sa[row]
+    (the full inverse-permuted SA) and must still match the legacy walk."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from awry_tpu import FmBuildArgs, build_from_records
+    from awry_tpu.ops.locate import lf_walk
+
+    seq = random_seq(Alphabet.NUCLEOTIDE, rng, 900)
+    index = build_from_records(
+        [("r", seq)], FmBuildArgs(lookup_table_kmer_len=4, locate_mark_ratio=1)
+    )
+    dev = to_device(index)
+    assert dev.mark_ratio == 1
+    legacy = to_device(
+        dataclasses.replace(
+            index, mark_bits=None, mark_milestones=None, text_sampled_sa=None
+        )
+    )
+    rows = jnp.asarray(rng.integers(0, index.bwt_len, size=300), dtype=jnp.uint32)
+    np.testing.assert_array_equal(
+        np.asarray(lf_walk(dev, rows)), np.asarray(lf_walk(legacy, rows))
+    )
+
+
 def test_device_engine_from_awry_import(rng, tmp_path):
     """An .awry-imported index (no mark data) must serve identical device
     results through the fallback walk."""
@@ -217,3 +244,35 @@ def test_device_sustained_qps_probe(rng):
         batches = [(*engine.encode_queries(queries), len(queries))]
         qps = engine.device_sustained_qps(batches, cap=2, trials=1)
         assert qps > 0
+
+
+def test_crumb_wire_selection_and_parity(rng):
+    """Pure-ACGT batches ship on the 2-bit crumb wire (int8); batches with
+    ambiguity or sentinel symbols fall back to the nibble wire (uint8);
+    results are identical either way."""
+    import jax.numpy as jnp
+
+    seq = random_seq(Alphabet.NUCLEOTIDE, rng, 20_000)
+    index = build_from_records([("r", seq)], FmBuildArgs(lookup_table_kmer_len=5))
+    eng = FmQueryEngine(index)
+    pure = [bytes(seq[s : s + 21]) for s in rng.integers(0, 19_000, size=64)]
+    qw, _ = eng.encode_queries(pure)
+    assert qw.dtype == jnp.int8  # crumb wire
+    for bad in (b"ACGTNACGTA", b"ACG$ACGTACG", b"acgurrrr"):
+        qw_bad, _ = eng.encode_queries(pure + [bad])
+        assert qw_bad.dtype == jnp.uint8, bad  # nibble fallback
+    # RNA 'u' is dense (U == T) and lowercase folds: still crumb.
+    qw_rna, _ = eng.encode_queries([b"acgu" * 5])
+    assert qw_rna.dtype == jnp.int8
+
+    from .oracle import kmer_position_map
+
+    kmap = kmer_position_map(seq, 21)
+    counts = eng.count_batch(pure)
+    locs = eng.locate_batch(pure)
+    for q, c, ls in zip(pure, counts, locs):
+        assert c == len(kmap[q])
+        assert sorted(p for _, p in ls) == sorted(kmap[q])
+    # Mixed batch (nibble wire) agrees on the shared queries.
+    counts2 = eng.count_batch(pure + [b"ACGTNACGTA"])
+    np.testing.assert_array_equal(counts2[: len(pure)], counts)

@@ -143,9 +143,39 @@ def test_verify_amino_byte_packed(rng):
 def test_verify_mixed_lengths(rng):
     """Lengths straddling the switch step in one batch."""
     seq = random_seq(Alphabet.NUCLEOTIDE, rng, 80_000)
-    index, eng = _engine(seq, k=5)  # switch = 9
+    index, eng = _engine(seq, k=5)  # switch = 11 (scale-aware)
     queries = []
     for ln in (4, 8, 9, 10, 15, 31):
         starts = rng.integers(0, 79_000, size=8)
         queries += [seq[s : s + ln] for s in starts]
     _check_against_classic(index, eng, queries, cap=8)
+
+
+def test_switch_step_scale_aware():
+    """The handover depth tracks index scale: expected spurious width
+    bwt_len / base^s must be under SPURIOUS_TARGET, never below the seed."""
+    import dataclasses
+    import types
+
+    from awry_tpu.ops.verify import SPURIOUS_TARGET, switch_step
+
+    def fake(card, bwt_len, k):
+        return types.SimpleNamespace(
+            alphabet=types.SimpleNamespace(cardinality=card),
+            bwt_len=bwt_len,
+            kmer_len=k,
+        )
+
+    # DNA (base 4): pinned depths at the bench scales.
+    assert switch_step(fake(6, 4_600_000, 10)) == 14
+    assert switch_step(fake(6, 250_000_000, 13)) == 17
+    assert switch_step(fake(6, 3_100_000_000, 13)) == 19
+    # Amino (base 20): much shallower.
+    assert switch_step(fake(22, 20_000_000, 5)) == 7
+    # Never below the k-mer seed (the seed is a single gather).
+    assert switch_step(fake(6, 1_000, 8)) == 8
+    # Invariant across a scale sweep.
+    for n in (10**3, 10**6, 10**9, 10**10):
+        s = switch_step(fake(6, n, 2))
+        assert n / 4**s <= SPURIOUS_TARGET or s == 2
+        assert n / 4 ** (s - 1) > SPURIOUS_TARGET or s <= 2
