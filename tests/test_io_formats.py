@@ -356,11 +356,18 @@ def test_strict_mode_catches_corruption(rng, tmp_path):
         FmQueryEngine(bad, strict=True)
 
     # Wire batch with out-of-range symbol indices (bypassing encode_queries).
+    # The nibble wire (uint8) is the widest packed format that can carry an
+    # out-of-range symbol; 0xFF there decodes to nibble 15 >= cardinality.
+    # (The 2-bit crumb wire is correct by construction - every crumb decodes
+    # to a dense symbol - so strict mode rightly accepts any crumb bytes.)
     eng = FmQueryEngine(index, strict=True)
     qsyms, qlens = eng.encode_queries([seq[:8]])
-    evil = jnp.asarray(np.full_like(np.asarray(qsyms), 0xFF))
+    evil_nibble = jnp.asarray(np.full((1, 8), 0xFF, dtype=np.uint8))
     with pytest.raises(ValueError, match="symbol index"):
-        eng.count_batch_dispatch((evil, qlens))
+        eng.count_batch_dispatch((evil_nibble, qlens))
+    if np.asarray(qsyms).dtype == np.int8:  # crumb wire selected for this seq
+        evil_crumb = jnp.asarray(np.full_like(np.asarray(qsyms), -1))
+        eng.count_batch_dispatch((evil_crumb, qlens))  # accepted: no bad decode
     with pytest.raises(ValueError, match="query length"):
         eng.count_batch_dispatch((qsyms, jnp.asarray(np.array([999], dtype=np.int32))))
     # Clean dispatch passes strict checks and counts correctly.
