@@ -23,17 +23,29 @@ import jax
 import jax.numpy as jnp
 
 
-def _force(out):
-    leaves = jax.tree_util.tree_leaves(out)
-    return float(np.asarray(leaves[0]).ravel()[0])
+def _reduced(fn):
+    """Wrap fn so every output leaf is reduced to one scalar ON DEVICE -
+    the relay link (~25 MB/s) would otherwise dominate the timing with the
+    forced leaf's transfer."""
+
+    @jax.jit
+    def red(*args, **kw):
+        leaves = jax.tree_util.tree_leaves(fn(*args, **kw))
+        tot = jnp.float32(0)
+        for l in leaves:
+            tot = tot + jnp.sum(l.astype(jnp.float32))
+        return tot
+
+    return red
 
 
 def timeit(label, fn, *args, iters=5, **kw):
-    _force(fn(*args, **kw))
+    rfn = _reduced(fn)
+    jax.block_until_ready(rfn(*args, **kw))
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(*args, **kw)
-    s = _force(out)
+        out = rfn(*args, **kw)
+    s = float(jax.block_until_ready(out))
     dt = (time.perf_counter() - t0) / iters * 1e3
     print(f"{label:58s} {dt:9.2f} ms   (chk {s:.0f})", flush=True)
     return dt
