@@ -55,7 +55,7 @@ def mark_words_offset(alphabet: Alphabet) -> int:
 @partial(jax.tree_util.register_dataclass, data_fields=[
     "blocks", "prefix_sums", "sampled_sa", "text_sampled_sa", "kmer_table", "seq_starts",
     "index_to_code", "code_to_index", "index_to_dense", "blocks_sweep", "text_packed",
-    "text_sweep",
+    "text_sweep", "text_rows8",
 ], meta_fields=["alphabet", "sa_ratio", "bwt_len", "kmer_len", "has_marks", "mark_ratio"])
 @dataclasses.dataclass(frozen=True)
 class FmDeviceIndex:
@@ -99,6 +99,13 @@ class FmDeviceIndex:
     # tile: [num_text_tiles, 8, 128] (ops/sweep.py text_window_sweep).  Built
     # with blocks_sweep; costs one extra text-sized copy in HBM.
     text_sweep: jax.Array | None = None
+    # Overlapping stride-4 8-word rows of the padded text, each word
+    # pre-SYMBOL-REVERSED: row r = rev(padded[4r .. 4r+8]).  The verify
+    # compare's backward window read becomes ONE row gather (any <=5
+    # consecutive words sit inside one row); element gathers are issue-bound
+    # on TPU (scripts/micro_vmem_layouts.py).  Built for VMEM-regime indexes
+    # (the HBM regime uses text_sweep); costs 2x the packed text.
+    text_rows8: jax.Array | None = None
 
     @property
     def num_planes(self) -> int:
@@ -111,6 +118,16 @@ class FmDeviceIndex:
     @property
     def mark_offset(self) -> int:
         return mark_words_offset(self.alphabet)
+
+
+def _reverse_symbols_np(w: np.ndarray, bits: int) -> np.ndarray:
+    """Host mirror of ops/verify._reverse_symbols (symbol order within each
+    uint32 word), applied once at index-ship time for text_rows8."""
+    w = w.astype(np.uint32)
+    if bits == 4:
+        w = ((w & np.uint32(0x0F0F0F0F)) << 4) | ((w >> 4) & np.uint32(0x0F0F0F0F))
+    w = ((w & np.uint32(0x00FF00FF)) << 8) | ((w >> 8) & np.uint32(0x00FF00FF))
+    return (((w << 16) | (w >> 16)) & np.uint32(0xFFFFFFFF)).astype(np.uint32)
 
 
 def build_fused_blocks(index: FmIndexData) -> np.ndarray:
@@ -159,6 +176,7 @@ def to_device(index: FmIndexData, *, sharding=None, device=None, build_sweep: bo
     fused = build_fused_blocks(index)
     sweep_arr = None
     text_sweep_arr = None
+    text_rows8_arr = None
     if build_sweep:
         from .sweep import build_sweep_blocks
 
@@ -172,10 +190,25 @@ def to_device(index: FmIndexData, *, sharding=None, device=None, build_sweep: bo
             rows8 = np.zeros((nw8, 8), dtype=np.uint32)
             rows8.reshape(-1)[: padded_text.shape[0]] = padded_text
             text_sweep_arr = put("text_sweep", build_sweep_blocks(rows8))
+    elif index.text_packed is not None:
+        # VMEM-regime verify compare: overlapping stride-4 rows of the
+        # padded text, pre-symbol-reversed (see FmDeviceIndex.text_rows8).
+        bits = 4 if index.alphabet.cardinality <= 16 else 8
+        padded_text = np.concatenate(
+            [np.zeros(_text_pad_words(), dtype=np.uint32),
+             index.text_packed.astype(np.uint32)]
+        )
+        rev = _reverse_symbols_np(padded_text, bits)
+        nrows = -(-rev.shape[0] // 4) + 1
+        buf = np.zeros(4 * nrows + 4, dtype=np.uint32)
+        buf[: rev.shape[0]] = rev
+        overlapped = np.lib.stride_tricks.sliding_window_view(buf, 8)[::4]
+        text_rows8_arr = put("text_rows8", np.ascontiguousarray(overlapped))
     return FmDeviceIndex(
         blocks=put("blocks", fused),
         blocks_sweep=sweep_arr,
         text_sweep=text_sweep_arr,
+        text_rows8=text_rows8_arr,
         text_packed=(
             # TEXT_PAD_WORDS zero words prepended: the verify path's
             # backward window gather never clamps (ops/verify.py).

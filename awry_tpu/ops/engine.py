@@ -20,7 +20,6 @@ from ..alphabet import encode_ascii, index_to_ascii_table
 from ..index import FmIndexData
 from .device_index import FmDeviceIndex, to_device
 from .locate import lf_walk
-from .search import count_batch_kernel, search_ranges
 
 
 def _start_d2h(arr) -> None:
@@ -115,8 +114,8 @@ class FmQueryEngine:
         else:
             self.device_index = index
         from ..alphabet import index_to_dense_table
-        from .locate import count_locate_capped
-        from .search import unpack_crumbs, unpack_nibbles
+        from .locate import count_locate_capped_t
+        from .search import unpack_crumbs_t, unpack_nibbles_t
 
         # Wire format: alphabets with cardinality <= 16 (nucleotide) ship
         # queries nibble-packed (uint8, 4 bits/symbol); batches whose
@@ -134,17 +133,25 @@ class FmQueryEngine:
         else:
             self._crumb_lut = self._crumb_inv = None
 
-        def wrap(kernel):
-            if not self._wire_packed:
-                return kernel
-            crumb_inv = self._crumb_inv
+        wire_packed = self._wire_packed
+        crumb_inv = self._crumb_inv
+
+        def wrap(kernel_t):
+            """Adapt a TRANSPOSED-query kernel (qt int32[L, B]) to the wire:
+            crumb/nibble wires unpack straight into qt (ops/search.py), raw
+            int8 wires transpose on device (free: fuses into the first
+            consumer's layout)."""
 
             def wrapped(idx, qwire, qlens, **kw):
-                if qwire.dtype == jnp.int8:
-                    syms = unpack_crumbs(qwire, crumb_inv)
+                if wire_packed and qwire.dtype == jnp.int8:
+                    # Crumb wire cannot encode a sentinel: skip the scan.
+                    qt = unpack_crumbs_t(qwire, crumb_inv)
+                    return kernel_t(idx, qt, qlens, no_sentinel=True, **kw)
+                if wire_packed:
+                    qt = unpack_nibbles_t(qwire)
                 else:
-                    syms = unpack_nibbles(qwire)
-                return kernel(idx, syms, qlens, **kw)
+                    qt = qwire.T.astype(jnp.int32)
+                return kernel_t(idx, qt, qlens, **kw)
 
             return wrapped
 
@@ -154,10 +161,12 @@ class FmQueryEngine:
         # sorted sweep; the round-1 per-row Pallas paths (rank_pallas,
         # gather_pallas) were deleted after the sweep kernel beat them 7.5x
         # (BASELINE.md round-2 measurements).
-        self._count_fn = jax.jit(wrap(count_batch_kernel))
-        self._ranges_fn = jax.jit(wrap(search_ranges))
+        from .search import count_batch_kernel_t, search_ranges_t
+
+        self._count_fn = jax.jit(wrap(count_batch_kernel_t))
+        self._ranges_fn = jax.jit(wrap(search_ranges_t))
         self._walk_fn = jax.jit(lf_walk)
-        self._count_locate_fn = jax.jit(wrap(count_locate_capped), static_argnames=("cap",))
+        self._count_locate_fn = jax.jit(wrap(count_locate_capped_t), static_argnames=("cap",))
         self._seq_starts_host = np.asarray(self.device_index.seq_starts).astype(np.int64)
 
         # Seed-walk-verify serving path (ops/verify.py): the default fused
@@ -173,10 +182,10 @@ class FmQueryEngine:
             use_verify and dev.text_packed is not None and dev.has_marks
         )
         if self._verify_enabled:
-            from .verify import TEXT_PAD_WORDS, count_locate_verify, switch_step
+            from .verify import TEXT_PAD_WORDS, count_locate_verify_t, switch_step
 
             self._verify_s = switch_step(dev)
-            self._verify_fn = jax.jit(wrap(count_locate_verify), static_argnames=("s",))
+            self._verify_fn = jax.jit(wrap(count_locate_verify_t), static_argnames=("s",))
             # Longest padded query the backward text-window gather covers;
             # longer batches fall back to the classic path per dispatch.
             spw = 8 if dev.alphabet.cardinality <= 16 else 4
@@ -544,8 +553,8 @@ class FmQueryEngine:
         `batches`: pre-encoded ``(qsyms, qlens, n)`` tuples (encode_queries).
         Returns the best trial's queries/sec.
         """
-        from .locate import count_locate_capped
-        from .verify import count_locate_verify
+        from .locate import count_locate_capped_t
+        from .verify import count_locate_verify_t
 
         def _reduce(outs):
             return jnp.stack(
@@ -554,11 +563,11 @@ class FmQueryEngine:
 
         wrap = self._wrap
         verify_digest = jax.jit(
-            lambda idx, qs, ql, s: _reduce(wrap(count_locate_verify)(idx, qs, ql, s=s)),
+            lambda idx, qs, ql, s: _reduce(wrap(count_locate_verify_t)(idx, qs, ql, s=s)),
             static_argnames=("s",),
         )
         classic_digest = jax.jit(
-            lambda idx, qs, ql, cap: _reduce(wrap(count_locate_capped)(idx, qs, ql, cap=cap)),
+            lambda idx, qs, ql, cap: _reduce(wrap(count_locate_capped_t)(idx, qs, ql, cap=cap)),
             static_argnames=("cap",),
         )
 

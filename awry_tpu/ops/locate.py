@@ -146,7 +146,15 @@ def lf_walk(index: FmDeviceIndex, rows: jax.Array, *, backstep_fn=None) -> jax.A
 
 
 def count_locate_capped(index: FmDeviceIndex, qsyms: jax.Array, qlens: jax.Array, cap: int):
+    """Row-major [B, L] compat wrapper over count_locate_capped_t."""
+    return count_locate_capped_t(index, qsyms.T.astype(jnp.int32), qlens, cap)
+
+
+def count_locate_capped_t(
+    index: FmDeviceIndex, qt: jax.Array, qlens: jax.Array, cap: int, *, no_sentinel: bool = False
+):
     """Fused count + locate in ONE device dispatch, up to `cap` hits/query.
+    qt: int32[L, B] TRANSPOSED right-aligned queries (ops/search.py).
 
     Returns (counts uint32[B], text_pos uint32[B, cap]); entries beyond
     counts[b] are meaningless.  Queries with more than `cap` hits report
@@ -157,9 +165,9 @@ def count_locate_capped(index: FmDeviceIndex, qsyms: jax.Array, qlens: jax.Array
     mapping happens on the host (a trivial searchsorted), keeping the
     device->host payload at one uint32 per hit.
     """
-    from .search import counts_from_ranges, search_ranges
+    from .search import counts_from_ranges, search_ranges_t
 
-    starts, ends = search_ranges(index, qsyms, qlens)
+    starts, ends = search_ranges_t(index, qt, qlens, no_sentinel=no_sentinel)
     counts = counts_from_ranges(starts, ends)
     b = starts.shape[0]
     offs = jnp.arange(cap, dtype=jnp.uint32)

@@ -42,34 +42,59 @@ def _select_i32(table, idx: jax.Array) -> jax.Array:
     return out
 
 
+def unpack_crumbs_t(qpacked: jax.Array, dense_to_index) -> jax.Array:
+    """Expand a crumb-packed (2-bit) query matrix int8[B, L//4] to the
+    TRANSPOSED int32[L, B] symbol matrix on device (crumb j of a byte at
+    bits 2j = column 4*byte + j).  The wire format for nucleotide batches
+    whose in-range symbols are all dense encoding symbols (A/C/G/T): the
+    upload link is the serving bottleneck through a slow host<->device
+    relay, and 2 bits halve it again vs the nibble wire.
+
+    Transposed output, built as L static row extracts over [B] lane
+    vectors: every downstream consumer (search step columns, verify's
+    per-distance compares) reads ROWS of the [L, B] form, and producing
+    [B, L] first costs a 16 MB relayout plus an element-gather LUT pass
+    (~11 ms per 512k batch, profile_verify_stages.py).  ``dense_to_index``
+    (static int8[num_encoding_symbols], A,C,G,T -> 1,2,3,5) is applied as
+    a where-select chain; padding crumbs decode to 'A' and are masked by
+    qlens everywhere downstream."""
+    w = jax.lax.bitcast_convert_type(qpacked, jnp.uint8).T  # [L//4, B]
+    lut = [int(v) for v in np.asarray(dense_to_index)]
+    rows = []
+    for j in range(qpacked.shape[1] * 4):
+        d = ((w[j // 4] >> jnp.uint8(2 * (j % 4))) & jnp.uint8(3)).astype(jnp.int32)
+        out = jnp.full(d.shape, np.int32(lut[0]), dtype=jnp.int32)
+        for k in range(1, len(lut)):
+            out = jnp.where(d == k, np.int32(lut[k]), out)
+        rows.append(out)
+    return jnp.stack(rows, axis=0)
+
+
+def unpack_nibbles_t(qpacked: jax.Array) -> jax.Array:
+    """Expand a nibble-packed query matrix uint8[B, L//2] (low nibble =
+    even column) to the TRANSPOSED int32[L, B] symbol matrix on device.
+    The wire format for alphabets with cardinality <= 16 (nucleotide):
+    host<->device query bandwidth is the serving bottleneck, so symbols
+    ship at 4 bits.  Transposed output for the same reason as
+    unpack_crumbs_t."""
+    w = qpacked.T  # [L//2, B]
+    rows = []
+    for j in range(qpacked.shape[1] * 2):
+        half = w[j // 2]
+        rows.append(
+            ((half >> jnp.uint8(4)) if j % 2 else (half & jnp.uint8(0xF))).astype(jnp.int32)
+        )
+    return jnp.stack(rows, axis=0)
+
+
 def unpack_crumbs(qpacked: jax.Array, dense_to_index) -> jax.Array:
-    """Expand a crumb-packed (2-bit) query matrix int8[B, L//4] back to
-    int8[B, L] symbol indices on device (crumb j of a byte at bits 2j =
-    column 4*byte + j).  The wire format for nucleotide batches whose
-    in-range symbols are all dense encoding symbols (A/C/G/T): the upload
-    link is the serving bottleneck through a slow host<->device relay, and
-    2 bits halve it again vs the nibble wire.  ``dense_to_index``: static
-    int8[num_encoding_symbols] LUT back to symbol indices (A,C,G,T ->
-    1,2,3,5); padding crumbs decode to 'A' and are masked by qlens
-    everywhere downstream (search_ranges/compare_text_suffixes)."""
-    b, quarter = qpacked.shape
-    w = jax.lax.bitcast_convert_type(qpacked, jnp.uint8)
-    parts = [
-        ((w >> jnp.uint8(2 * i)) & jnp.uint8(3)).astype(jnp.int32) for i in range(4)
-    ]
-    dense = jnp.stack(parts, axis=-1).reshape(b, quarter * 4)
-    return jnp.asarray(np.asarray(dense_to_index, dtype=np.int8))[dense]
+    """[B, L] int8 view of unpack_crumbs_t (compat for row-major callers)."""
+    return unpack_crumbs_t(qpacked, dense_to_index).T.astype(jnp.int8)
 
 
 def unpack_nibbles(qpacked: jax.Array) -> jax.Array:
-    """Expand a nibble-packed query matrix uint8[B, L//2] (low nibble =
-    even column) back to int8[B, L] on device.  The wire format for
-    alphabets with cardinality <= 16 (nucleotide): host<->device query
-    bandwidth is the serving bottleneck, so symbols ship at 4 bits."""
-    b, half = qpacked.shape
-    lo = (qpacked & jnp.uint8(0xF)).astype(jnp.int8)
-    hi = (qpacked >> jnp.uint8(4)).astype(jnp.int8)
-    return jnp.stack([lo, hi], axis=-1).reshape(b, half * 2)
+    """[B, L] int8 view of unpack_nibbles_t (compat for row-major callers)."""
+    return unpack_nibbles_t(qpacked).T.astype(jnp.int8)
 
 
 def search_ranges(
@@ -96,10 +121,31 @@ def search_ranges(
     Returns:
       (starts, ends): uint32[B] inclusive ranges; empty iff start > end.
     """
+    # Accept int8 wire format; widen once on device.
+    qt = qsyms.T.astype(jnp.int32)  # [L, B]; row L-1-i = symbol at distance i from the end
+    return search_ranges_t(index, qt, qlens, update_fn=update_fn, num_steps=num_steps)
+
+
+def search_ranges_t(
+    index: FmDeviceIndex,
+    qt: jax.Array,
+    qlens: jax.Array,
+    *,
+    update_fn=None,
+    num_steps: int | None = None,
+    no_sentinel: bool = False,
+):
+    """search_ranges over the TRANSPOSED query matrix int32[L, B] (batch in
+    lanes) - the native layout of the device hot path: the wire unpackers
+    emit it directly and every step reads a static row.
+
+    ``no_sentinel`` (static): the caller guarantees qt contains no sentinel
+    symbols (true for the crumb wire, which cannot encode one), skipping
+    the whole-matrix sentinel scan."""
     if update_fn is None:
         from .sweep import sweep_suits
 
-        if sweep_suits(index, 2 * qsyms.shape[0]):
+        if sweep_suits(index, 2 * qt.shape[1]):
             # Sorted-sweep hot path (ops/sweep.py): enabled by building the
             # device index with to_device(build_sweep=True); batches too
             # sparse for guaranteed window coverage stay on plain gathers.
@@ -108,9 +154,7 @@ def search_ranges(
             update_fn = lambda s, e, sym: sweep_update_range(index, s, e, sym)  # noqa: E731
         else:
             update_fn = lambda s, e, sym: update_range(index, s, e, sym)  # noqa: E731
-    B, L = qsyms.shape
-    # Accept int8 wire format; widen once on device.
-    qt = qsyms.T.astype(jnp.int32)  # [L, B]; row L-1-i = symbol at distance i from the end
+    L, B = qt.shape
 
     last_sym = qt[L - 1]
     s0, e0 = seed_range(index, last_sym)
@@ -159,10 +203,13 @@ def search_ranges(
     # sentinel search, src/bwt.rs:128-129,261-265), so searching '$'/'#'
     # returns "no matches" instead of silently computing garbage ranks
     # (PARITY.md divergence #7).
-    col = jax.lax.broadcasted_iota(jnp.int32, (L, 1), 0)
-    in_query = col >= (jnp.int32(L) - qlens)[None, :]
-    has_sentinel = jnp.any((qt == 0) & in_query, axis=0)
-    invalid = (qlens <= 0) | has_sentinel
+    if no_sentinel:
+        invalid = qlens <= 0
+    else:
+        col = jax.lax.broadcasted_iota(jnp.int32, (L, 1), 0)
+        in_query = col >= (jnp.int32(L) - qlens)[None, :]
+        has_sentinel = jnp.any((qt == 0) & in_query, axis=0)
+        invalid = (qlens <= 0) | has_sentinel
     starts = jnp.where(invalid, jnp.uint32(1), s0)
     ends = jnp.where(invalid, jnp.uint32(0), e0)
     return starts, ends
@@ -175,4 +222,11 @@ def counts_from_ranges(starts: jax.Array, ends: jax.Array) -> jax.Array:
 
 def count_batch_kernel(index: FmDeviceIndex, qsyms: jax.Array, qlens: jax.Array) -> jax.Array:
     starts, ends = search_ranges(index, qsyms, qlens)
+    return counts_from_ranges(starts, ends)
+
+
+def count_batch_kernel_t(
+    index: FmDeviceIndex, qt: jax.Array, qlens: jax.Array, *, no_sentinel: bool = False
+) -> jax.Array:
+    starts, ends = search_ranges_t(index, qt, qlens, no_sentinel=no_sentinel)
     return counts_from_ranges(starts, ends)

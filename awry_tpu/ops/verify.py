@@ -39,7 +39,7 @@ import jax.numpy as jnp
 
 from .device_index import FmDeviceIndex
 from .locate import lf_walk
-from .search import counts_from_ranges, search_ranges
+from .search import counts_from_ranges, search_ranges_t
 
 TEXT_PAD_WORDS = 64  # zero words prepended to the device text (device_index.py)
 
@@ -77,23 +77,33 @@ def _reverse_symbols(word: jax.Array, bits: int) -> jax.Array:
     return (w << 16) | (w >> 16)
 
 
-def compare_text_suffixes(
-    index: FmDeviceIndex, e: jax.Array, qsyms: jax.Array, qlens: jax.Array, s: int
+def compare_text_suffixes_t(
+    index: FmDeviceIndex, e: jax.Array, qt: jax.Array, qlens: jax.Array, s: int
 ) -> jax.Array:
     """True per lane iff text[e - d] == query symbol at distance d from the
     query end, for every d in [s, qlen).  e: uint32[B] anchor positions
-    (position of the LAST already-matched symbol); qsyms int32[B, L]
-    right-aligned, so the distance-d query symbol is the STATIC column
-    L-1-d.
+    (position of the LAST already-matched symbol); qt int32[L, B]
+    TRANSPOSED right-aligned queries, so the distance-d query symbol is the
+    STATIC row L-1-d.
 
-    One K-word backward slice-gather per lane, symbol-reversal + funnel
-    alignment into per-distance static slots, then L-s static vector
-    compares - no per-lane dynamic indexing anywhere.
+    Three backends for the K-word backward window read, fastest available
+    first; then funnel alignment into per-distance static slots and L-s
+    static vector compares - no per-lane dynamic indexing anywhere:
+
+    * ``text_rows8`` (VMEM-regime indexes): ONE row gather from the
+      pre-symbol-reversed, stride-4 overlapping 8-word-row text layout
+      (device_index.py) + per-lane select chains over the 8 sublanes.
+      Covers windows up to 5 words (any 5 consecutive words fit one
+      stride-4 row); element gathers are issue-bound at ~65M words/s on a
+      v5e while row gathers stream (scripts/micro_vmem_layouts.py: 17.5 ms
+      -> ~2 ms per 512k batch).
+    * sorted text sweep (HBM-regime indexes with the sweep layout).
+    * flat element gather (fallback; also the CPU-test path).
     """
     bits = 4 if index.alphabet.cardinality <= 16 else 8
     spw = 32 // bits
     lg = 3 if bits == 4 else 2
-    L = qsyms.shape[1]
+    L = qt.shape[0]
     # Only distances d in [s, L) are compared (the search already matched
     # the last s symbols), so only backward words jlo..jhi around e are
     # needed: aligned[d//spw] reads rev[j] and rev[j+1] for j = d//spw.
@@ -102,32 +112,43 @@ def compare_text_suffixes(
     if jhi > TEXT_PAD_WORDS:
         raise ValueError(f"padded query length {L} exceeds verify window")
 
-    # rev[j] is the symbol-reversed text word at index (e>>lg) - j.  The
-    # random-word reads go through the sorted text sweep when the index
-    # carries the sweep layout (streams 8-word text rows through VMEM;
-    # ops/sweep.py text_window_sweep), else ONE flat advanced-index gather
-    # (a vmapped dynamic_slice mis-lowers ~6x slower at this size — see
-    # scripts/micro_textgather.py; the plain element gather is issue-bound
-    # at ~80M words/s, ~10 ms of a 131k-query chr1 batch).
+    # rev_at(j) is the symbol-reversed text word at index (e>>lg) - j.
     from .sweep import _auto_interpret, text_sweep_suits, text_window_sweep
 
     K = jhi - jlo + 1
-    if text_sweep_suits(index, e.shape[0]):
-        wb = ((e >> lg) + jnp.uint32(TEXT_PAD_WORDS)) - jnp.uint32(jlo)
-        words = text_window_sweep(index, wb, K, interpret=_auto_interpret())
-    else:
-        w_base = (e >> lg).astype(jnp.int32) + TEXT_PAD_WORDS
-        cols = jnp.arange(jlo, jhi + 1, dtype=jnp.int32)  # ascending j
-        words = index.text_packed[w_base[:, None] - cols[None, :]]  # [B, K]
-    rev = _reverse_symbols(words, bits)
+    if index.text_rows8 is not None and K <= 5:
+        # Window words w in [wb-jhi, wb-jlo]; the stride-4 row r covers
+        # words [4r, 4r+8), and (a & 3) + K <= 3 + 5 <= 8 guarantees the
+        # whole window sits in row (a >> 2) for a = wb - jhi.
+        wb = (e >> lg) + jnp.uint32(TEXT_PAD_WORDS)
+        a = wb - jnp.uint32(jhi)
+        rows_t = index.text_rows8[(a >> 2).astype(jnp.int32)].T  # [8, B]
+        o = (a & jnp.uint32(3)).astype(jnp.int32)
 
-    def rev_at(j):
-        return rev[:, j - jlo]
+        def rev_at(j):
+            idx = o + (jhi - j)  # in [0, 7]
+            out = rows_t[0]
+            for t in range(1, 8):
+                out = jnp.where(idx == t, rows_t[t], out)
+            return out
+
+    else:
+        if text_sweep_suits(index, e.shape[0]):
+            wb = ((e >> lg) + jnp.uint32(TEXT_PAD_WORDS)) - jnp.uint32(jlo)
+            words = text_window_sweep(index, wb, K, interpret=_auto_interpret())
+        else:
+            w_base = (e >> lg).astype(jnp.int32) + TEXT_PAD_WORDS
+            cols = jnp.arange(jlo, jhi + 1, dtype=jnp.int32)  # ascending j
+            words = index.text_packed[w_base[:, None] - cols[None, :]]  # [B, K]
+        rev = _reverse_symbols(words, bits)
+
+        def rev_at(j):
+            return rev[:, j - jlo]
 
     # Align so distance d sits at slot d: a = spw-1 - (e % spw) symbols of
     # lead-in to drop from the reversed stream.
-    a = (jnp.uint32(spw - 1) - (e & jnp.uint32(spw - 1))).astype(jnp.uint32)
-    sh = (a * bits).astype(jnp.uint32)
+    a_sh = (jnp.uint32(spw - 1) - (e & jnp.uint32(spw - 1))).astype(jnp.uint32)
+    sh = (a_sh * bits).astype(jnp.uint32)
     aligned = {}
     for j in range(jlo, jhi):
         lo = rev_at(j) >> sh
@@ -138,9 +159,16 @@ def compare_text_suffixes(
     ok = jnp.ones(e.shape, dtype=bool)
     for d in range(s, L):
         tsym = (aligned[d // spw] >> jnp.uint32(bits * (d % spw))) & mask_sym
-        qsym = qsyms[:, L - 1 - d].astype(jnp.uint32)
+        qsym = qt[L - 1 - d].astype(jnp.uint32)
         ok = ok & ((tsym == qsym) | (d >= qlens))
     return ok
+
+
+def compare_text_suffixes(
+    index: FmDeviceIndex, e: jax.Array, qsyms: jax.Array, qlens: jax.Array, s: int
+) -> jax.Array:
+    """Row-major [B, L] compat wrapper over compare_text_suffixes_t."""
+    return compare_text_suffixes_t(index, e, qsyms.T.astype(jnp.int32), qlens, s)
 
 
 WIDE_CAP = 4  # candidate rows verified per wide lane inside the fused kernel
@@ -157,7 +185,16 @@ def wide_groups(batch: int) -> int:
 def count_locate_verify(
     index: FmDeviceIndex, qsyms: jax.Array, qlens: jax.Array, s: int
 ):
+    """Row-major [B, L] compat wrapper over count_locate_verify_t."""
+    return count_locate_verify_t(index, qsyms.T.astype(jnp.int32), qlens, s)
+
+
+def count_locate_verify_t(
+    index: FmDeviceIndex, qt: jax.Array, qlens: jax.Array, s: int, *, no_sentinel: bool = False
+):
     """Fused seed-walk-verify count+locate in one device dispatch.
+    qt: int32[L, B] TRANSPOSED right-aligned queries (wire unpackers emit
+    this layout directly; ops/search.py).
 
     Returns ``(bundle, starts, ends)``; ``bundle`` is a single packed u8
     buffer (one host transfer; see unpack_verify_bundle) carrying:
@@ -177,7 +214,7 @@ def count_locate_verify(
       positions.
     * (starts, ends): the step-``s`` device ranges (never transferred).
     """
-    starts, ends = search_ranges(index, qsyms, qlens, num_steps=s)
+    starts, ends = search_ranges_t(index, qt, qlens, num_steps=s, no_sentinel=no_sentinel)
     width = counts_from_ranges(starts, ends)
     long_enough = qlens > s
     candidate = (width == 1) & long_enough
@@ -186,15 +223,17 @@ def count_locate_verify(
     B = starts.shape[0]
     G = wide_groups(B)
 
-    # Compact wide lanes (width <= WIDE_CAP) into group slots.
-    gidx = jnp.cumsum(wide.astype(jnp.int32)) - 1  # group id per wide lane
-    fits = wide & (width <= WIDE_CAP) & (gidx < G)
-    scatter_to = jnp.where(fits, gidx, G)  # G = dump slot
-    lane_of_group = (
-        jnp.full((G + 1,), B, dtype=jnp.int32)
-        .at[scatter_to]
-        .set(jnp.arange(B, dtype=jnp.int32))[:G]
-    )
+    # Compact wide lanes (width <= WIDE_CAP) into group slots: group g's
+    # lane is the g-th fitting lane = first index where the running count
+    # reaches g+1 (searchsorted over the monotone cumsum; keys past the
+    # total return B = "empty group").  A 512k-lane scatter with ~98% of
+    # lanes colliding on a dump slot serializes badly on TPU; this form
+    # also stops over-WIDE_CAP lanes from burning group slots.
+    fitsable = wide & (width <= WIDE_CAP)
+    csum = jnp.cumsum(fitsable.astype(jnp.int32))
+    lane_of_group = jnp.searchsorted(
+        csum, jnp.arange(1, G + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
     valid_g = lane_of_group < B
     lane_safe = jnp.where(valid_g, lane_of_group, 0)
     g_start = starts[lane_safe]
@@ -215,9 +254,11 @@ def count_locate_verify(
     e_all = jnp.concatenate(
         [p + jnp.uint32(s - 1), (p_slot + jnp.uint32(s - 1)).reshape(-1)]
     )
-    q_all = jnp.concatenate([qsyms, jnp.repeat(qsyms[lane_safe], WIDE_CAP, axis=0)])
+    qt_all = jnp.concatenate(
+        [qt, jnp.repeat(qt[:, lane_safe], WIDE_CAP, axis=1)], axis=1
+    )
     l_all = jnp.concatenate([qlens, jnp.repeat(qlens[lane_safe], WIDE_CAP)])
-    ok_all = compare_text_suffixes(index, e_all, q_all, l_all, s)
+    ok_all = compare_text_suffixes_t(index, e_all, qt_all, l_all, s)
 
     matches = ok_all[:B]
     verified = candidate & matches & (p >= rem)

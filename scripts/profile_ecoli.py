@@ -23,13 +23,13 @@ import jax
 import jax.numpy as jnp
 
 
-def _reduced(fn):
+def _reduced(fn, kw):
     """Wrap fn so every output leaf is reduced to one scalar ON DEVICE -
     the relay link (~25 MB/s) would otherwise dominate the timing with the
-    forced leaf's transfer."""
+    forced leaf's transfer.  kw are closed over (static), not traced."""
 
     @jax.jit
-    def red(*args, **kw):
+    def red(*args):
         leaves = jax.tree_util.tree_leaves(fn(*args, **kw))
         tot = jnp.float32(0)
         for l in leaves:
@@ -40,11 +40,11 @@ def _reduced(fn):
 
 
 def timeit(label, fn, *args, iters=5, **kw):
-    rfn = _reduced(fn)
-    jax.block_until_ready(rfn(*args, **kw))
+    rfn = _reduced(fn, kw)
+    jax.block_until_ready(rfn(*args))
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = rfn(*args, **kw)
+        out = rfn(*args)
     s = float(jax.block_until_ready(out))
     dt = (time.perf_counter() - t0) / iters * 1e3
     print(f"{label:58s} {dt:9.2f} ms   (chk {s:.0f})", flush=True)
