@@ -55,8 +55,9 @@ def mark_words_offset(alphabet: Alphabet) -> int:
 @partial(jax.tree_util.register_dataclass, data_fields=[
     "blocks", "prefix_sums", "sampled_sa", "text_sampled_sa", "kmer_table", "seq_starts",
     "index_to_code", "code_to_index", "index_to_dense", "blocks_sweep", "text_packed",
-    "text_sweep", "text_rows8",
-], meta_fields=["alphabet", "sa_ratio", "bwt_len", "kmer_len", "has_marks", "mark_ratio"])
+    "text_sweep", "text_rows8", "marked_sa8", "verify_windows", "blocks_search",
+], meta_fields=["alphabet", "sa_ratio", "bwt_len", "kmer_len", "has_marks", "mark_ratio",
+                "verify_windows_s", "verify_windows_w"])
 @dataclasses.dataclass(frozen=True)
 class FmDeviceIndex:
     """jnp mirror of FmIndexData plus the small codec LUTs the kernels need.
@@ -106,6 +107,32 @@ class FmDeviceIndex:
     # on TPU (scripts/micro_vmem_layouts.py).  Built for VMEM-regime indexes
     # (the HBM regime uses text_sweep); costs 2x the packed text.
     text_rows8: jax.Array | None = None
+    # text_sampled_sa reshaped to 8-word rows [ceil(len/8), 8] (zero-padded).
+    # The mark_ratio == 1 walk's SA read becomes a row gather + 8-way select
+    # instead of an issue-bound element gather.  VMEM-regime only: at HBM
+    # scale a 131k-row gather is SLOWER than the element gather (row issues
+    # cost ~40 ns there), so big indexes keep the flat read.
+    marked_sa8: jax.Array | None = None
+    # ROW-indexed pre-aligned verify windows, uint32 [bwt_len, 8]: for BWT
+    # row r with SA value p and anchor e = p + s - 1, word i holds the
+    # packed text symbols at query-end distances s + spw*i + t in bits
+    # bits*t (t in 0..spw-1; out-of-text distances hold 0 = sentinel), and
+    # word verify_windows_w holds p itself.  The fused verify's LF-walk +
+    # text compare collapse into ONE row gather + static shifts/compares -
+    # no SA gather, no funnel alignment, no per-lane selects
+    # (scripts/ablate_verify.py: walk+compare were ~16 of 24 ms compute per
+    # 512k batch).  Costs 32 B x bwt_len; built for VMEM-regime mark=1
+    # indexes only.
+    verify_windows: jax.Array | None = None
+    verify_windows_s: int = 0  # the switch step the windows were aligned for
+    verify_windows_w: int = 0  # window words per row (word index of p)
+    # Mark-free copy of the fused rows for SEARCH gathers (planes +
+    # milestones only, padded to 32/64 words): rank steps never read mark
+    # words, and a nucleotide step moves 20% fewer bytes through the
+    # gather (the plane/milestone word offsets are unchanged - marks sit
+    # at the row tail).  VMEM-regime only; the walk and sweep keep the
+    # full rows.
+    blocks_search: jax.Array | None = None
 
     @property
     def num_planes(self) -> int:
@@ -118,6 +145,55 @@ class FmDeviceIndex:
     @property
     def mark_offset(self) -> int:
         return mark_words_offset(self.alphabet)
+
+
+_VERIFY_WINDOW_WORDS = 5  # window words per fat row (see verify_windows)
+
+
+def _build_verify_windows(index: FmIndexData, inv_sa: np.ndarray):
+    """Assemble FmDeviceIndex.verify_windows: [bwt_len, 8] uint32 fat rows
+    (W pre-aligned window words + the row's SA value; see the field doc).
+
+    inv_sa: uint32[bwt_len], SA value per BWT row (text_sampled_sa at
+    mark_ratio 1).  Alignment happens HERE, once per index: runtime then
+    needs no funnel shifts - the symbol at query-end distance d sits at a
+    static bit position of word (d - s) // spw.
+    """
+    from .verify import switch_step
+
+    card = index.alphabet.cardinality
+    bits = 4 if card <= 16 else 8
+    spw = 32 // bits
+    s = switch_step(index)
+    w = _VERIFY_WINDOW_WORDS
+    n_rows = inv_sa.shape[0]
+
+    # Unpack the 4/8-bit packed text to one symbol per byte (little-endian
+    # within each uint32 word; index.py pack_text layout).
+    tp = index.text_packed.astype(np.uint32)
+    if bits == 4:
+        syms = np.zeros(tp.shape[0] * 8, dtype=np.uint8)
+        for t in range(8):
+            syms[t::8] = (tp >> (4 * t)) & 0xF
+    else:
+        syms = np.zeros(tp.shape[0] * 4, dtype=np.uint8)
+        for t in range(4):
+            syms[t::4] = (tp >> (8 * t)) & 0xFF
+    n_text = index.bwt_len - 1  # text symbols (sentinel excluded)
+    syms = syms[:n_text]
+
+    e = inv_sa.astype(np.int64) + (s - 1)
+    fat = np.zeros((n_rows, 8), dtype=np.uint32)
+    for i in range(w):
+        acc = np.zeros(n_rows, dtype=np.uint32)
+        for t in range(spw):
+            posd = e - (s + spw * i + t)
+            ok = (posd >= 0) & (posd < n_text)
+            sym = np.where(ok, syms[np.clip(posd, 0, n_text - 1)], 0).astype(np.uint32)
+            acc |= sym << np.uint32(bits * t)
+        fat[:, i] = acc
+    fat[:, w] = inv_sa
+    return fat, s, w
 
 
 def _reverse_symbols_np(w: np.ndarray, bits: int) -> np.ndarray:
@@ -204,11 +280,33 @@ def to_device(index: FmIndexData, *, sharding=None, device=None, build_sweep: bo
         buf[: rev.shape[0]] = rev
         overlapped = np.lib.stride_tricks.sliding_window_view(buf, 8)[::4]
         text_rows8_arr = put("text_rows8", np.ascontiguousarray(overlapped))
+    marked_sa8_arr = None
+    vw_arr, vw_s, vw_w = None, 0, 0
+    if index.resolved_mark_ratio == 1 and index.has_marks and not build_sweep:
+        flat = text_sampled.astype(np.uint32)
+        n8 = -(-flat.shape[0] // 8)
+        sa8 = np.zeros((n8, 8), dtype=np.uint32)
+        sa8.reshape(-1)[: flat.shape[0]] = flat
+        marked_sa8_arr = put("marked_sa8", sa8)
+        if index.text_packed is not None:
+            vw, vw_s, vw_w = _build_verify_windows(index, flat)
+            vw_arr = put("verify_windows", vw)
+    blocks_search_arr = None
+    if not build_sweep and index.has_marks:
+        slim_words = fused_row_words(index.alphabet, False)
+        blocks_search_arr = put(
+            "blocks_search", np.ascontiguousarray(fused[:, :slim_words])
+        )
     return FmDeviceIndex(
         blocks=put("blocks", fused),
         blocks_sweep=sweep_arr,
         text_sweep=text_sweep_arr,
         text_rows8=text_rows8_arr,
+        marked_sa8=marked_sa8_arr,
+        verify_windows=vw_arr,
+        verify_windows_s=vw_s,
+        verify_windows_w=vw_w,
+        blocks_search=blocks_search_arr,
         text_packed=(
             # TEXT_PAD_WORDS zero words prepended: the verify path's
             # backward window gather never clamps (ops/verify.py).

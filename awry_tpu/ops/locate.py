@@ -131,7 +131,12 @@ def lf_walk(index: FmDeviceIndex, rows: jax.Array, *, backstep_fn=None) -> jax.A
     """
     if backstep_fn is None and index.has_marks and index.mark_ratio == 1:
         # Every row is marked and mark_rank(row) == row: the walk is one
-        # element gather (text_sampled_sa is the full inverse-permuted SA).
+        # SA read (text_sampled_sa is the full inverse-permuted SA).  Read
+        # via 8-word rows + select when the layout is present (VMEM regime:
+        # element gathers are issue-bound), else the flat element gather.
+        if index.marked_sa8 is not None:
+            rows8_t = index.marked_sa8[(rows >> 3).astype(jnp.int32)].T  # [8, N]
+            return select_rows(rows8_t, 0, 8, (rows & jnp.uint32(7)).astype(jnp.int32))
         return index.text_sampled_sa[rows]
     if backstep_fn is None and index.has_marks and index.blocks_sweep is not None:
         from .sweep import marked_walk_sweep, sweep_suits

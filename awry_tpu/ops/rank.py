@@ -95,9 +95,17 @@ def occurrence_from_rows_t(
     return milestone_t(index, rows_t, sym) + window_popcount_t(index, rows_t, pos, sym)
 
 
+def fetch_rows_search_t(index: FmDeviceIndex, pos: jax.Array) -> jax.Array:
+    """fetch_rows_t from the mark-free search copy when present (rank never
+    reads mark words; 20% fewer bytes per nucleotide gather)."""
+    blocks = index.blocks_search if index.blocks_search is not None else index.blocks
+    block = (pos >> 8).astype(jnp.int32)
+    return blocks[block].T
+
+
 def occurrence(index: FmDeviceIndex, pos: jax.Array, sym: jax.Array) -> jax.Array:
     """Occ(pos, sym) = count of sym in BWT[0..=pos] (uint32 in/out)."""
-    return occurrence_from_rows_t(index, fetch_rows_t(index, pos), pos, sym)
+    return occurrence_from_rows_t(index, fetch_rows_search_t(index, pos), pos, sym)
 
 
 def prefix_sum_select(index: FmDeviceIndex, sym: jax.Array) -> jax.Array:

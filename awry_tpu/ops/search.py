@@ -134,6 +134,7 @@ def search_ranges_t(
     update_fn=None,
     num_steps: int | None = None,
     no_sentinel: bool = False,
+    seeded_floor: bool = False,
 ):
     """search_ranges over the TRANSPOSED query matrix int32[L, B] (batch in
     lanes) - the native layout of the device hot path: the wire unpackers
@@ -141,7 +142,14 @@ def search_ranges_t(
 
     ``no_sentinel`` (static): the caller guarantees qt contains no sentinel
     symbols (true for the crumb wire, which cannot encode one), skipping
-    the whole-matrix sentinel scan."""
+    the whole-matrix sentinel scan.
+
+    ``seeded_floor`` (static): the caller guarantees EVERY lane k-mer-seeds
+    (crumb wire - all symbols dense - and min qlen >= kmer_len, checked
+    host-side at encode time).  The loop then starts at step k (steps
+    1..k-1 provably have no active lane) and drops the per-step
+    any(active) reduce + cond (the where-mask alone keeps frozen lanes
+    exact) - ~13 batch-wide reductions saved per 30 bp dispatch."""
     if update_fn is None:
         from .sweep import sweep_suits
 
@@ -188,14 +196,46 @@ def search_ranges_t(
             return (jnp.where(active, new_starts, starts),
                     jnp.where(active, new_ends, ends))
 
+        if seeded_floor:
+            return do_step()
         # Steps where NO lane is live (everything seeded past i, exhausted,
         # or empty) skip the rank work entirely - with k-mer seeding the
         # first k-1 loop steps are all skipped this way.
         return jax.lax.cond(jnp.any(active), do_step, lambda: (starts, ends))
 
+    def body_nocond(i, carry):
+        # The all-seeded branch: no per-step any(active) reduce + cond -
+        # the where-mask in do_step alone keeps frozen lanes exact (empty
+        # ranges stay empty under update; start >= 1 persists).
+        starts, ends = carry
+        active = (i < qlens) & (starts <= ends)
+
+        def do_step():
+            sym = jax.lax.dynamic_index_in_dim(qt, L - 1 - i, axis=0, keepdims=False)
+            new_starts, new_ends = update_fn(starts, ends, sym)
+            return (jnp.where(active, new_starts, starts),
+                    jnp.where(active, new_ends, ends))
+
+        return do_step()
+
     upper = L if num_steps is None else min(L, num_steps)
-    if upper > 1:
-        s0, e0 = jax.lax.fori_loop(1, upper, body, (s0, e0))
+    lower = max(1, k) if (seeded_floor and k > 0 and L >= k) else 1
+    if upper > lower:
+        if not seeded_floor and k > 1 and L >= k and upper > k:
+            # Runtime fast path: when EVERY lane k-mer-seeded (one reduce),
+            # start the loop at step k and drop the 13-odd per-step
+            # any(active) reductions; otherwise take the generic masked
+            # loop.  Branch resolved on device - no host knowledge of the
+            # batch's length distribution needed.
+            s0, e0 = jax.lax.cond(
+                jnp.all(all_dense),
+                lambda a, b: jax.lax.fori_loop(k, upper, body_nocond, (a, b)),
+                lambda a, b: jax.lax.fori_loop(lower, upper, body, (a, b)),
+                s0, e0,
+            )
+        else:
+            body_fn = body_nocond if seeded_floor else body
+            s0, e0 = jax.lax.fori_loop(lower, upper, body_fn, (s0, e0))
 
     # Zero-length queries yield the canonical empty range (start=1, end=0,
     # src/search.rs:51-56).  Queries containing the sentinel symbol do too:

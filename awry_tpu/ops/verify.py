@@ -242,29 +242,64 @@ def count_locate_verify_t(
     slot_valid = jslot[None, :] < g_width[:, None]  # [G, WIDE_CAP]
     slot_rows = jnp.where(slot_valid, g_start[:, None] + jslot[None, :], jnp.uint32(0))
 
-    # One shared walk + one shared text compare over singleton lanes and
-    # wide slots (row 0 is marked, so masked lanes terminate immediately).
+    # One shared walk + text compare treatment for singleton lanes and wide
+    # slots - but compared SEPARATELY: concatenating the repeated slot
+    # queries onto qt materializes a second full-batch [L, B+4G] matrix,
+    # and each group's WIDE_CAP slots share one query anyway (the [G, CAP]
+    # slot compare broadcasts one query read per group).
     rows_main = jnp.where(candidate, starts, jnp.uint32(0))
-    p_all = lf_walk(index, jnp.concatenate([rows_main, slot_rows.reshape(-1)]))
-    p = p_all[:B]
-    p_slot = p_all[B:].reshape(G, WIDE_CAP)
+    qt_g = qt[:, lane_safe]  # [L, G]
+    l_g = qlens[lane_safe]
+
+    L = qt.shape[0]
+    bits = 4 if index.alphabet.cardinality <= 16 else 8
+    spw = 32 // bits
+    if (
+        index.verify_windows is not None
+        and index.verify_windows_s == s
+        and L <= s + spw * index.verify_windows_w
+    ):
+        # Fat-row path: ONE gather serves the SA value AND the pre-aligned
+        # text window (see FmDeviceIndex.verify_windows) - no LF-walk, no
+        # second gather, no funnel.
+        mask_sym = jnp.uint32((1 << bits) - 1)
+        w = index.verify_windows_w
+
+        fat_t = index.verify_windows[rows_main.astype(jnp.int32)].T  # [8, B]
+        p = fat_t[w]
+        matches = jnp.ones(rows_main.shape, dtype=bool)
+        fat_g = index.verify_windows[slot_rows.astype(jnp.int32)]  # [G, CAP, 8]
+        p_slot = fat_g[:, :, w]
+        ok_slot_cmp = jnp.ones(slot_rows.shape, dtype=bool)
+        for d in range(s, L):
+            i, t = (d - s) // spw, (d - s) % spw
+            sh = jnp.uint32(bits * t)
+            qsym = qt[L - 1 - d].astype(jnp.uint32)
+            matches = matches & (
+                (((fat_t[i] >> sh) & mask_sym) == qsym) | (d >= qlens)
+            )
+            qsym_g = qt_g[L - 1 - d].astype(jnp.uint32)[:, None]
+            ok_slot_cmp = ok_slot_cmp & (
+                (((fat_g[:, :, i] >> sh) & mask_sym) == qsym_g) | (d >= l_g)[:, None]
+            )
+    else:
+        rows_all = jnp.concatenate([rows_main, slot_rows.reshape(-1)])
+        p_all = lf_walk(index, rows_all)
+        p = p_all[:B]
+        p_slot = p_all[B:].reshape(G, WIDE_CAP)
+        e_all = p_all + jnp.uint32(s - 1)
+        qt_all = jnp.concatenate(
+            [qt, jnp.repeat(qt_g, WIDE_CAP, axis=1)], axis=1
+        )
+        l_all = jnp.concatenate([qlens, jnp.repeat(l_g, WIDE_CAP)])
+        ok_all = compare_text_suffixes_t(index, e_all, qt_all, l_all, s)
+        matches = ok_all[:B]
+        ok_slot_cmp = ok_all[B:].reshape(G, WIDE_CAP)
 
     rem = jnp.where(long_enough, qlens - s, 0).astype(jnp.uint32)
     rem_g = rem[lane_safe]
-    e_all = jnp.concatenate(
-        [p + jnp.uint32(s - 1), (p_slot + jnp.uint32(s - 1)).reshape(-1)]
-    )
-    qt_all = jnp.concatenate(
-        [qt, jnp.repeat(qt[:, lane_safe], WIDE_CAP, axis=1)], axis=1
-    )
-    l_all = jnp.concatenate([qlens, jnp.repeat(qlens[lane_safe], WIDE_CAP)])
-    ok_all = compare_text_suffixes_t(index, e_all, qt_all, l_all, s)
-
-    matches = ok_all[:B]
     verified = candidate & matches & (p >= rem)
-    ok_slot = (
-        ok_all[B:].reshape(G, WIDE_CAP) & slot_valid & (p_slot >= rem_g[:, None])
-    )
+    ok_slot = ok_slot_cmp & slot_valid & (p_slot >= rem_g[:, None])
     pos_slot = p_slot - rem_g[:, None]
     wide_counts = ok_slot.sum(axis=1).astype(jnp.uint32)  # [G]
 
@@ -281,43 +316,70 @@ def count_locate_verify_t(
     redis = (wide & ~settled_w) | ((counts > 0) & ~long_enough)
     text_pos = p - rem
 
-    # Pack every host-bound result into ONE u8 buffer: each np.asarray on a
+    # Pack every host-bound result into ONE buffer: each np.asarray on a
     # separate output pays a full tunnel/PCIe round trip (measured 187 ms
     # for six transfers vs ~45 ms for one on the relay link), and redis
-    # lanes' counts are recomputed anyway so a 7-bit clamp loses nothing.
-    flags = (
-        jnp.minimum(counts, jnp.uint32(127)).astype(jnp.uint8)
-        | (redis.astype(jnp.uint8) << 7)
-    )
+    # lanes' counts are recomputed anyway so a small clamp loses nothing
+    # (non-redis counts are exact and <= WIDE_CAP).
     okbits = (
         ok_slot.astype(jnp.uint32) << jnp.arange(WIDE_CAP, dtype=jnp.uint32)[None, :]
     ).sum(axis=1, dtype=jnp.uint32)
     wide_meta = jnp.concatenate(
         [lane_of_group.astype(jnp.uint32)[:, None], pos_slot, okbits[:, None]], axis=1
     )  # [G, 2 + WIDE_CAP]
-    bundle = jnp.concatenate(
-        [
-            jax.lax.bitcast_convert_type(text_pos, jnp.uint8).reshape(-1),
-            flags,
-            jax.lax.bitcast_convert_type(wide_meta, jnp.uint8).reshape(-1),
-        ]
-    )
+    if _packed_bundle(index):
+        # One u32 per lane: [28b pos | 3b count | 1b redis] - 20% less
+        # result wire than the split pos+flags form, and no byte-level
+        # relayouts packing it.
+        lane_words = (
+            (text_pos & jnp.uint32(0x0FFFFFFF))
+            | (jnp.minimum(counts, jnp.uint32(7)) << 28)
+            | (redis.astype(jnp.uint32) << 31)
+        )
+        bundle = jnp.concatenate([lane_words, wide_meta.reshape(-1)])
+    else:
+        flags = (
+            jnp.minimum(counts, jnp.uint32(127)).astype(jnp.uint8)
+            | (redis.astype(jnp.uint8) << 7)
+        )
+        bundle = jnp.concatenate(
+            [
+                jax.lax.bitcast_convert_type(text_pos, jnp.uint8).reshape(-1),
+                flags,
+                jax.lax.bitcast_convert_type(wide_meta, jnp.uint8).reshape(-1),
+            ]
+        )
     return bundle, starts, ends
 
 
+def _packed_bundle(index: FmDeviceIndex) -> bool:
+    """u32-per-lane bundle mode: positions fit 28 bits and exact non-redis
+    counts (<= WIDE_CAP) fit 3."""
+    return index.bwt_len < (1 << 28) and WIDE_CAP <= 7
+
+
 def unpack_verify_bundle(bundle: "np.ndarray", batch: int, groups: int):
-    """Host-side view of count_locate_verify's packed result buffer.
+    """Host-side view of count_locate_verify's packed result buffer (u32
+    lane-word mode when the buffer dtype is uint32, else the split
+    pos+flags u8 mode; the device picked per _packed_bundle).
 
     Returns (pos uint32[B], counts int64[B], redis bool[B], lane_g int64[G],
     pos_slot uint32[G, WIDE_CAP], ok_slot bool[G, WIDE_CAP])."""
     import numpy as np
 
-    b4 = 4 * batch
-    pos = bundle[:b4].view(np.uint32)
-    flags = bundle[b4 : b4 + batch]
-    meta = bundle[b4 + batch :].view(np.uint32).reshape(groups, 2 + WIDE_CAP)
-    counts = (flags & 0x7F).astype(np.int64)
-    redis = (flags >> 7).astype(bool)
+    if bundle.dtype == np.uint32:
+        lane_words = bundle[:batch]
+        pos = lane_words & np.uint32(0x0FFFFFFF)
+        counts = ((lane_words >> 28) & 7).astype(np.int64)
+        redis = (lane_words >> 31).astype(bool)
+        meta = bundle[batch:].reshape(groups, 2 + WIDE_CAP)
+    else:
+        b4 = 4 * batch
+        pos = bundle[:b4].view(np.uint32)
+        flags = bundle[b4 : b4 + batch]
+        meta = bundle[b4 + batch :].view(np.uint32).reshape(groups, 2 + WIDE_CAP)
+        counts = (flags & 0x7F).astype(np.int64)
+        redis = (flags >> 7).astype(bool)
     lane_g = meta[:, 0].astype(np.int64)
     pos_slot = meta[:, 1 : 1 + WIDE_CAP]
     ok_slot = ((meta[:, 1 + WIDE_CAP][:, None] >> np.arange(WIDE_CAP)) & 1).astype(bool)
