@@ -56,6 +56,7 @@ def mark_words_offset(alphabet: Alphabet) -> int:
     "blocks", "prefix_sums", "sampled_sa", "text_sampled_sa", "kmer_table", "seq_starts",
     "index_to_code", "code_to_index", "index_to_dense", "blocks_sweep", "text_packed",
     "text_sweep", "text_rows8", "marked_sa8", "verify_windows", "blocks_search",
+    "kmer_sweep", "sa_sweep", "vw_sweep", "kmer_flat", "vw_flat",
 ], meta_fields=["alphabet", "sa_ratio", "bwt_len", "kmer_len", "has_marks", "mark_ratio",
                 "verify_windows_s", "verify_windows_w"])
 @dataclasses.dataclass(frozen=True)
@@ -133,6 +134,25 @@ class FmDeviceIndex:
     # at the row tail).  VMEM-regime only; the walk and sweep keep the
     # full rows.
     blocks_search: jax.Array | None = None
+    # Sorted-sweep layouts (ops/sweep.py window_sweep) over three
+    # issue-bound random-read tables, each an 8-word-row view of the flat
+    # array (costs one extra copy of the table in HBM; built only where
+    # the plain gather is the measured bottleneck AND serving batches are
+    # dense enough for window coverage):
+    #   kmer_sweep - flat k-mer table (k >= 12: 512 MB at k=13);
+    #   sa_sweep   - flat text_sampled_sa (mark=1 HBM indexes: the walk
+    #                IS one SA read per lane);
+    #   vw_sweep   - flat verify_windows (the fat-row gather).
+    kmer_sweep: jax.Array | None = None
+    sa_sweep: jax.Array | None = None
+    vw_sweep: jax.Array | None = None
+    # 1-D copies of the k-mer table / verify_windows for window_sweep's
+    # fixup reads: an in-graph reshape of a tiled [N, 2]/[N, 8] device
+    # array materializes a T(8,128)-padded copy (observed 34 GB for the
+    # k=13 table).  Shipped flat from the host instead; present iff the
+    # matching sweep layout is.
+    kmer_flat: jax.Array | None = None
+    vw_flat: jax.Array | None = None
 
     @property
     def num_planes(self) -> int:
@@ -280,6 +300,27 @@ def to_device(index: FmIndexData, *, sharding=None, device=None, build_sweep: bo
         buf[: rev.shape[0]] = rev
         overlapped = np.lib.stride_tricks.sliding_window_view(buf, 8)[::4]
         text_rows8_arr = put("text_rows8", np.ascontiguousarray(overlapped))
+    kmer_sweep_arr = None
+    sa_sweep_arr = None
+    vw_sweep_arr = None
+    kmer_flat_arr = None
+    vw_flat_arr = None
+    if build_sweep:
+        from .sweep import build_sweep_blocks
+
+        def sweep8(flat: np.ndarray) -> np.ndarray:
+            n8 = -(-flat.shape[0] // 8)
+            rows = np.zeros((n8, 8), dtype=np.uint32)
+            rows.reshape(-1)[: flat.shape[0]] = flat.astype(np.uint32)
+            return build_sweep_blocks(rows)
+
+        if index.kmer_table.nbytes // 2 >= 64 * 1024 * 1024:
+            # uint64 host table ships as uint32 on device (nbytes // 2).
+            kflat = index.kmer_table.astype(np.uint32).reshape(-1)
+            kmer_sweep_arr = put("kmer_sweep", sweep8(kflat))
+            kmer_flat_arr = put("kmer_flat", kflat)
+        if index.resolved_mark_ratio == 1 and index.has_marks:
+            sa_sweep_arr = put("sa_sweep", sweep8(text_sampled.astype(np.uint32)))
     marked_sa8_arr = None
     vw_arr, vw_s, vw_w = None, 0, 0
     if index.resolved_mark_ratio == 1 and index.has_marks and not build_sweep:
@@ -291,6 +332,13 @@ def to_device(index: FmIndexData, *, sharding=None, device=None, build_sweep: bo
         if index.text_packed is not None:
             vw, vw_s, vw_w = _build_verify_windows(index, flat)
             vw_arr = put("verify_windows", vw)
+            from .sweep import build_sweep_blocks
+
+            # Fat rows are 8 words already: the sweep layout is a direct
+            # per-128-row transpose (serves the fat gather at sweep rates;
+            # the 147 MB E. coli table gathers issue-bound at ~16 ns/row).
+            vw_sweep_arr = put("vw_sweep", build_sweep_blocks(vw))
+            vw_flat_arr = put("vw_flat", np.ascontiguousarray(vw.reshape(-1)))
     blocks_search_arr = None
     if not build_sweep and index.has_marks:
         slim_words = fused_row_words(index.alphabet, False)
@@ -307,6 +355,11 @@ def to_device(index: FmIndexData, *, sharding=None, device=None, build_sweep: bo
         verify_windows_s=vw_s,
         verify_windows_w=vw_w,
         blocks_search=blocks_search_arr,
+        kmer_sweep=kmer_sweep_arr,
+        sa_sweep=sa_sweep_arr,
+        vw_sweep=vw_sweep_arr,
+        kmer_flat=kmer_flat_arr,
+        vw_flat=vw_flat_arr,
         text_packed=(
             # TEXT_PAD_WORDS zero words prepended: the verify path's
             # backward window gather never clamps (ops/verify.py).

@@ -131,9 +131,16 @@ def lf_walk(index: FmDeviceIndex, rows: jax.Array, *, backstep_fn=None) -> jax.A
     """
     if backstep_fn is None and index.has_marks and index.mark_ratio == 1:
         # Every row is marked and mark_rank(row) == row: the walk is one
-        # SA read (text_sampled_sa is the full inverse-permuted SA).  Read
-        # via 8-word rows + select when the layout is present (VMEM regime:
-        # element gathers are issue-bound), else the flat element gather.
+        # SA read (text_sampled_sa is the full inverse-permuted SA).
+        # Fastest available read: sorted sweep (HBM-scale SA, dense batch)
+        # > 8-word-row gather + select (VMEM regime) > flat element gather.
+        from .sweep import _auto_interpret, window_sweep, window_sweep_suits
+
+        if window_sweep_suits(index.sa_sweep, rows.shape[0]):
+            return window_sweep(
+                index.sa_sweep, index.text_sampled_sa, rows, 2,
+                interpret=_auto_interpret(),
+            )[:, 0]
         if index.marked_sa8 is not None:
             rows8_t = index.marked_sa8[(rows >> 3).astype(jnp.int32)].T  # [8, N]
             return select_rows(rows8_t, 0, 8, (rows & jnp.uint32(7)).astype(jnp.int32))

@@ -181,9 +181,25 @@ def search_ranges_t(
             d = _select_i32(dense_table, qt[L - 1 - j])
             all_dense = all_dense & (d >= 0)
             addr = addr + jnp.maximum(d, 0) * np.int32(base**j)
-        seeded = index.kmer_table[addr]  # [B, 2] gather, once per batch
-        s0 = jnp.where(all_dense, seeded[:, 0], s0)
-        e0 = jnp.where(all_dense, seeded[:, 1], e0)
+        from .sweep import _auto_interpret, window_sweep, window_sweep_suits
+
+        if window_sweep_suits(index.kmer_sweep, B):
+            # k=13-scale tables (512 MB) gather issue-bound; the sorted
+            # sweep serves the same [start, end] pair reads at stream rates
+            # (flat layout: word 2a = start, 2a+1 = end).
+            pair = window_sweep(
+                index.kmer_sweep,
+                index.kmer_flat,
+                (addr.astype(jnp.uint32) << 1) | jnp.uint32(1),
+                2,
+                interpret=_auto_interpret(),
+            )
+            seed_start, seed_end = pair[:, 1], pair[:, 0]
+        else:
+            seeded = index.kmer_table[addr]  # [B, 2] gather, once per batch
+            seed_start, seed_end = seeded[:, 0], seeded[:, 1]
+        s0 = jnp.where(all_dense, seed_start, s0)
+        e0 = jnp.where(all_dense, seed_end, e0)
         steps_done = jnp.where(all_dense, jnp.int32(k), steps_done)
 
     def body(i, carry):

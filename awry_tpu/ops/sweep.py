@@ -640,27 +640,43 @@ def _text_grid_spec(nchunks: int, nwin: int, wt: int, k: int):
 
 def text_sweep_suits(index: FmDeviceIndex, num_requests: int) -> bool:
     """True when the text sweep can serve `num_requests` window-covered."""
-    if index.text_sweep is None:
+    return window_sweep_suits(index.text_sweep, num_requests)
+
+
+def window_sweep_suits(sweep_arr, num_requests: int) -> bool:
+    """True when window_sweep over this 8-word-row layout can serve
+    `num_requests` with guaranteed window coverage (batches too sparse for
+    the VMEM-capped window pay the uncovered-fallback cliff instead)."""
+    if sweep_arr is None:
         return False
-    nt = index.text_sweep.shape[0]
+    nt = sweep_arr.shape[0]
     return pick_window_tiles(nt, num_requests, 8) >= _want_window_tiles(nt, num_requests)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "interpret"))
 def text_window_sweep(index: FmDeviceIndex, wbase: jax.Array, k: int, *, interpret: bool = False):
     """words[i, j] = text_packed[wbase[i] - j] for j in 0..k-1 via the sorted
-    sweep over the 8-word-row text layout (index.text_sweep).
+    sweep over the 8-word-row text layout (index.text_sweep)."""
+    return window_sweep(index.text_sweep, index.text_packed, wbase, k, interpret=interpret)
 
-    The plain XLA element gather runs issue-bound at ~80M words/s; streaming
-    sorted row windows through VMEM serves the same reads at sweep rates
-    (BASELINE.md round-2 measurements).  wbase values are clamped into the
-    padded text; out-of-range lanes return in-bounds garbage that callers
-    mask (ops/verify.py masks d >= qlen distances and failed candidates).
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+def window_sweep(sweep_arr, flat_arr, wbase: jax.Array, k: int, *, interpret: bool = False):
+    """words[i, j] = flat_arr[wbase[i] - j] for j in 0..k-1 via the sorted
+    sweep over `sweep_arr` (build_sweep_blocks of flat_arr viewed as 8-word
+    rows).  The generalized random-read engine for ANY HBM-resident table:
+    plain XLA gathers are issue-bound (~16-65 ns/row); sorting requests and
+    streaming covering row windows through VMEM serves the same reads at
+    sweep rates (BASELINE.md).  Serves element reads (k=2, take j=0),
+    k-mer seed pairs (wbase=2a+1), and fat verify rows (wbase=8r+7, k=8).
+
+    wbase values are clamped into [k-1, len(flat_arr)); out-of-range lanes
+    return in-bounds garbage that callers mask.
     """
     assert k >= 2
     r = wbase.shape[0]
-    nt = index.text_sweep.shape[0]
-    wb = jnp.minimum(wbase, jnp.uint32(index.text_packed.shape[0] - 1))
+    nt = sweep_arr.shape[0]
+    wb = jnp.clip(wbase, jnp.uint32(k - 1), jnp.uint32(flat_arr.shape[0] - 1))
     lo = wb - jnp.uint32(k - 1)  # lowest word read; wbase >= TEXT_PAD_WORDS >= k-1
     anchor = lo >> 3
     off = (lo & jnp.uint32(7)).astype(jnp.int32)
@@ -693,8 +709,8 @@ def text_window_sweep(index: FmDeviceIndex, wbase: jax.Array, k: int, *, interpr
         win,
         sanc.reshape(nchunks // 8, 8, CHUNK),
         soff.reshape(nchunks // 8, 8, CHUNK),
-        index.text_sweep,
-        index.text_sweep,
+        sweep_arr,
+        sweep_arr,
     )
     outs = [o.reshape(-1) for o in outs]
 
@@ -703,7 +719,7 @@ def text_window_sweep(index: FmDeviceIndex, wbase: jax.Array, k: int, *, interpr
     bc = _chunk_budget(nchunks)
     fcidx, fvalid, overflow = _compact_flagged_chunks(covered_c, bc)
     fw = swb.reshape(nchunks, CHUNK)[fcidx].reshape(-1)
-    fix = index.text_packed[
+    fix = flat_arr[
         fw[:, None].astype(jnp.int32) - jnp.arange(k, dtype=jnp.int32)[None, :]
     ]  # [bc*CHUNK, k]
     dst = jnp.where(fvalid, fcidx, nchunks)
@@ -717,7 +733,7 @@ def text_window_sweep(index: FmDeviceIndex, wbase: jax.Array, k: int, *, interpr
     ]
 
     def full_fallback():
-        allfix = index.text_packed[
+        allfix = flat_arr[
             swb[:, None].astype(jnp.int32) - jnp.arange(k, dtype=jnp.int32)[None, :]
         ]
         cov = jnp.broadcast_to(covered_c[:, None], (nchunks, CHUNK)).reshape(-1)

@@ -261,14 +261,31 @@ def count_locate_verify_t(
     ):
         # Fat-row path: ONE gather serves the SA value AND the pre-aligned
         # text window (see FmDeviceIndex.verify_windows) - no LF-walk, no
-        # second gather, no funnel.
+        # second gather, no funnel.  Served by the sorted sweep when the
+        # layout is present (the 32 B/bwt-row table is HBM-resident and
+        # plain row gathers are issue-bound at ~16 ns/row).
+        from .sweep import _auto_interpret, window_sweep, window_sweep_suits
+
         mask_sym = jnp.uint32((1 << bits) - 1)
         w = index.verify_windows_w
-
-        fat_t = index.verify_windows[rows_main.astype(jnp.int32)].T  # [8, B]
+        N_all = B + G * WIDE_CAP
+        if window_sweep_suits(index.vw_sweep, N_all):
+            rows_all = jnp.concatenate([rows_main, slot_rows.reshape(-1)])
+            words = window_sweep(
+                index.vw_sweep,
+                index.vw_flat,
+                (rows_all << 3) | jnp.uint32(7),
+                8,
+                interpret=_auto_interpret(),
+            )  # [N, 8]; column j holds fat word 7 - j
+            fat_all = words[:, ::-1]
+            fat_t = fat_all[:B].T
+            fat_g = fat_all[B:].reshape(G, WIDE_CAP, 8)
+        else:
+            fat_t = index.verify_windows[rows_main.astype(jnp.int32)].T  # [8, B]
+            fat_g = index.verify_windows[slot_rows.astype(jnp.int32)]  # [G, CAP, 8]
         p = fat_t[w]
         matches = jnp.ones(rows_main.shape, dtype=bool)
-        fat_g = index.verify_windows[slot_rows.astype(jnp.int32)]  # [G, CAP, 8]
         p_slot = fat_g[:, :, w]
         ok_slot_cmp = jnp.ones(slot_rows.shape, dtype=bool)
         for d in range(s, L):

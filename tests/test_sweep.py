@@ -219,3 +219,43 @@ def test_adaptive_window_tiles_and_suits(rng):
     assert np.asarray(cov).all()
     host = he.occurrence(index, pos.astype(np.int64), sym.astype(np.int64))
     np.testing.assert_array_equal(np.asarray(occ).astype(np.int64), host.astype(np.int64))
+
+
+def test_window_sweep_generalized_reads(rng):
+    """window_sweep serves arbitrary flat-table reads exactly: element
+    reads (k=2, j=0), k-mer [start, end] pairs (wbase=2a+1), and 8-word
+    fat rows (wbase=8r+7) - the three generalized random-read shapes the
+    engine routes through the sorted sweep (ops/search.py seed,
+    ops/locate.py mark=1 walk, ops/verify.py fat path)."""
+    import jax.numpy as jnp
+
+    from awry_tpu.ops.sweep import build_sweep_blocks, window_sweep, window_sweep_suits
+
+    flat = rng.integers(0, 2**32, size=4096, dtype=np.uint64).astype(np.uint32)
+    rows8 = np.zeros((-(-flat.shape[0] // 8), 8), dtype=np.uint32)
+    rows8.reshape(-1)[: flat.shape[0]] = flat
+    sweep = jnp.asarray(build_sweep_blocks(rows8))
+    flat_d = jnp.asarray(flat)
+    r = 1024
+    assert window_sweep_suits(sweep, r)
+
+    # Element reads.
+    idx = rng.integers(1, flat.shape[0], size=r).astype(np.uint32)
+    out = np.asarray(window_sweep(sweep, flat_d, jnp.asarray(idx), 2, interpret=True))
+    np.testing.assert_array_equal(out[:, 0], flat[idx])
+    np.testing.assert_array_equal(out[:, 1], flat[idx - 1])
+
+    # Pair reads (k-mer seed shape): flat[2a], flat[2a+1].
+    a = rng.integers(0, flat.shape[0] // 2, size=r).astype(np.uint32)
+    pair = np.asarray(
+        window_sweep(sweep, flat_d, jnp.asarray((a << 1) | 1), 2, interpret=True)
+    )
+    np.testing.assert_array_equal(pair[:, 1], flat[2 * a])
+    np.testing.assert_array_equal(pair[:, 0], flat[2 * a + 1])
+
+    # Fat-row reads (verify_windows shape): row words in reversed order.
+    rr = rng.integers(0, flat.shape[0] // 8, size=r).astype(np.uint32)
+    words = np.asarray(
+        window_sweep(sweep, flat_d, jnp.asarray((rr << 3) | 7), 8, interpret=True)
+    )
+    np.testing.assert_array_equal(words[:, ::-1], flat.reshape(-1, 8)[rr])
