@@ -55,7 +55,11 @@ CONFIGS = [
     dict(name="chr20_64Mbp_dna", kind="dna", n=64_000_000, nq=524_288, qlen=30, k=13, mark=1),
     dict(name="swissprot_20Mres_amino", kind="amino", n=20_000_000, nq=262_144, qlen=12, k=5, mark=1),
     dict(name="chr1_250Mbp_dna", kind="dna", n=250_000_000, nq=524_288, qlen=30, k=13, mark=1),
-    dict(name="grch38_3.1Gbp_dna", kind="dna", n=3_100_000_000, nq=131_072, qlen=100, k=13, mark=4),
+    # GRCh38 at 512k: 131k requests over a 12M-block index are too sparse
+    # for ANY window sweep (spans exceed the VMEM window cap); at 512k the
+    # seed/rank/backstep sweeps engage.  (The final mark-rank SA read stays
+    # a plain element gather: a 3.1 GB sa_sweep copy would not fit HBM.)
+    dict(name="grch38_3.1Gbp_dna", kind="dna", n=3_100_000_000, nq=524_288, qlen=100, k=13, mark=4),
 ]
 
 NUM_BATCHES = 4
