@@ -98,6 +98,12 @@ class FmQueryEngine:
         with one text compare AND ships results as one packed transfer).
         False forces the classic full-depth path."""
         self.strict = strict
+        # Host copy (when available): redis lanes - the odd lane per batch
+        # whose step-s range exceeds WIDE_CAP - are served by the NumPy
+        # engine in microseconds instead of a SYNCHRONOUS classic device
+        # dispatch mid-assembly (measured ~65 ms/batch pipeline stall +
+        # a multi-second first-bucket compile through the relay).
+        self._host_index = index if isinstance(index, FmIndexData) else None
         if isinstance(index, FmIndexData):
             if strict:
                 index.validate(strict=True)
@@ -355,23 +361,34 @@ class FmQueryEngine:
         redis = redis_b[:n]
         sub_counts = sub_flat = sub_offsets = None
         if redis.any():
-            # Re-dispatch the flagged lanes through the classic full-depth
-            # path.  Row selection happens ON DEVICE (the wire batch never
-            # round-trips back through the tunnel); padding slots select
-            # wire row 0 (np.zeros below) and are sliced off by
-            # _flat_classic's [:n].
             idxs = np.nonzero(redis)[0]
-            b = _bucket(len(idxs))
-            pad_idx = np.zeros(b, dtype=np.int32)
-            pad_idx[: len(idxs)] = idxs
-            sel = jnp.asarray(pad_idx)
-            sub_out = self._count_locate_fn(
-                self.device_index,
-                jnp.asarray(qsyms)[sel],
-                jnp.asarray(qlens)[sel],
-                cap=cap,
-            )
-            sub_counts, sub_flat, sub_offsets = self._flat_classic(sub_out, len(idxs), cap)
+            if self._host_index is not None and len(idxs) <= 64:
+                # A handful of lanes: the NumPy host engine answers them in
+                # microseconds, keeping the stream pipeline unbroken (a
+                # classic device dispatch here is synchronous and stalls
+                # assembly for a relay round trip + program run).
+                sub_counts, sub_flat, sub_offsets = self._host_redis(
+                    idxs, np.asarray(qsyms), np.asarray(qlens)
+                )
+            else:
+                # Re-dispatch the flagged lanes through the classic
+                # full-depth path.  Row selection happens ON DEVICE (the
+                # wire batch never round-trips back through the tunnel);
+                # padding slots select wire row 0 (np.zeros below) and are
+                # sliced off by _flat_classic's [:n].
+                b = _bucket(len(idxs))
+                pad_idx = np.zeros(b, dtype=np.int32)
+                pad_idx[: len(idxs)] = idxs
+                sel = jnp.asarray(pad_idx)
+                sub_out = self._count_locate_fn(
+                    self.device_index,
+                    jnp.asarray(qsyms)[sel],
+                    jnp.asarray(qlens)[sel],
+                    cap=cap,
+                )
+                sub_counts, sub_flat, sub_offsets = self._flat_classic(
+                    sub_out, len(idxs), cap
+                )
             counts[redis] = sub_counts
         offsets = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(counts, out=offsets[1:])
@@ -395,6 +412,53 @@ class FmQueryEngine:
             )
             flat_pos[np.repeat(offsets[:-1][redis], sub_counts) + within] = sub_flat
         return counts, flat_pos, offsets
+
+    def _decode_wire_row(self, row: np.ndarray, qlen: int) -> np.ndarray:
+        """One wire row back to int64 symbol indices (the true qlen tail)."""
+        if self._wire_packed and row.dtype == np.int8:
+            b = row.view(np.uint8)
+            crumbs = np.stack(
+                [(b >> (2 * j)) & 3 for j in range(4)], axis=-1
+            ).reshape(-1)
+            syms = self._crumb_inv.astype(np.int64)[crumbs]
+        elif self._wire_packed:
+            syms = np.stack([row & 0xF, row >> 4], axis=-1).reshape(-1).astype(np.int64)
+        else:
+            syms = row.astype(np.int64)
+        return syms[syms.shape[0] - qlen :]
+
+    def _host_redis(self, idxs, qsyms_np, qlens_np):
+        """Exact count + ALL global hit positions (BWT-row order) for a few
+        redis lanes via the NumPy host engine (awry_tpu/host_engine.py)."""
+        import awry_tpu.host_engine as he
+
+        hidx = self._host_index
+        counts = np.zeros(len(idxs), dtype=np.int64)
+        flats = []
+        for j, i in enumerate(idxs):
+            syms = self._decode_wire_row(qsyms_np[i], int(qlens_np[i]))
+            if syms.shape[0] == 0 or (syms == 0).any():
+                flats.append(np.zeros(0, dtype=np.int64))
+                continue
+            start, end = he.search_range_for_symbols(hidx, syms)
+            c = int(end) - int(start) + 1
+            if c <= 0:
+                flats.append(np.zeros(0, dtype=np.int64))
+                continue
+            counts[j] = c
+            rows = np.arange(start, end + 1, dtype=np.int64)
+            steps = np.zeros_like(rows)
+            active = rows % hidx.sa_ratio != 0
+            while active.any():
+                rows[active] = he.backstep(hidx, rows[active])
+                steps[active] += 1
+                active = rows % hidx.sa_ratio != 0
+            sa_vals = hidx.sampled_sa[rows // hidx.sa_ratio].astype(np.int64)
+            flats.append((sa_vals + steps) % hidx.bwt_len)
+        flat = np.concatenate(flats) if flats else np.zeros(0, dtype=np.int64)
+        offsets = np.zeros(len(idxs) + 1, dtype=np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        return counts, flat, offsets
 
     def _assemble_flat_positions(self, counts, text_pos, starts, offsets, cap):
         """Vectorized ragged assembly of walked text positions (no per-query

@@ -44,7 +44,13 @@ from .search import counts_from_ranges, search_ranges_t
 TEXT_PAD_WORDS = 64  # zero words prepended to the device text (device_index.py)
 
 
-SPURIOUS_TARGET = 0.02  # expected spurious candidates per lane at the handover
+# Expected spurious candidates per lane at the search->walk handover.  Each
+# +1 of allowed expectation costs wide-group slots (P(width >= 2) ~= the
+# expectation for small values, and wide_groups budgets batch/16) but SAVES
+# one full batch-wide rank sweep per 4x: 0.06 cuts one sweep step on
+# chr20/chr1/GRCh38 (8.8 ms/step on chr1-scale, scripts/ -> BASELINE.md)
+# while E. coli and amino switch steps stay put.
+SPURIOUS_TARGET = 0.06
 
 
 def switch_step(index: FmDeviceIndex) -> int:
@@ -176,10 +182,10 @@ WIDE_CAP = 4  # candidate rows verified per wide lane inside the fused kernel
 
 def wide_groups(batch: int) -> int:
     """Compacted wide-lane budget: lanes whose step-``s`` range is 2..WIDE_CAP
-    wide are settled on device through this many group slots (~3% of the
-    batch covers random-text collision rates many times over; overflow just
-    falls back to the classic redispatch)."""
-    return max(16, batch // 32)
+    wide are settled on device through this many group slots (~6% of the
+    batch matches SPURIOUS_TARGET's wide-lane rate with headroom; overflow
+    just falls back to the classic redispatch)."""
+    return max(16, batch // 16)
 
 
 def count_locate_verify(

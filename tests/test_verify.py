@@ -168,8 +168,8 @@ def test_switch_step_scale_aware():
 
     # DNA (base 4): pinned depths at the bench scales.
     assert switch_step(fake(6, 4_600_000, 10)) == 14
-    assert switch_step(fake(6, 250_000_000, 13)) == 17
-    assert switch_step(fake(6, 3_100_000_000, 13)) == 19
+    assert switch_step(fake(6, 250_000_000, 13)) == 16
+    assert switch_step(fake(6, 3_100_000_000, 13)) == 18
     # Amino (base 20): much shallower.
     assert switch_step(fake(22, 20_000_000, 5)) == 7
     # Never below the k-mer seed (the seed is a single gather).
