@@ -177,7 +177,11 @@ def build_from_sequence_data(seq_data: SequenceData, args: FmBuildArgs) -> FmInd
         from ..ops.device_index import to_device
         from ..ops.kmer import populate_kmer_table_device
 
-        index.kmer_table = populate_kmer_table_device(to_device(index))
+        # minimal: the table build only rank-steps; shipping the locate /
+        # verify tables costs GBs of dead HBM at genome scale.
+        index.kmer_table = populate_kmer_table_device(
+            to_device(index, minimal=True), kmer_len
+        )
     else:
         index.kmer_table = populate_kmer_table(index)
     index.validate()

@@ -170,7 +170,9 @@ def load_awry(path: str, *, kmer_on_device: bool | None = None) -> FmIndexData:
         from ..ops.device_index import to_device
         from ..ops.kmer import populate_kmer_table_device
 
-        index.kmer_table = populate_kmer_table_device(to_device(index))
+        index.kmer_table = populate_kmer_table_device(
+            to_device(index, minimal=True), kmer_len
+        )
     else:
         from ..host_engine import populate_kmer_table
 

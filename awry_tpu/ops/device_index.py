@@ -169,6 +169,14 @@ class FmDeviceIndex:
 
 _VERIFY_WINDOW_WORDS = 5  # window words per fat row (see verify_windows)
 
+# Row-count ceiling for the VMEM-regime per-BWT-row extras (verify_windows
+# fat rows at 32 B/row, marked_sa8 at 4 B/row).  Above it the fat table
+# alone reaches GBs (chr1's 250M rows -> 8 GB x3 with its sweep/flat
+# copies: an instant HBM OOM) while the HBM regime is served by the sorted
+# sweep / walk+compare paths anyway.  16M rows covers every index whose
+# block payload is VMEM-ish (E. coli: 4.6M) with headroom.
+VMEM_REGIME_MAX_ROWS = 16 * 1024 * 1024
+
 
 def _build_verify_windows(index: FmIndexData, inv_sa: np.ndarray):
     """Assemble FmDeviceIndex.verify_windows: [bwt_len, 8] uint32 fat rows
@@ -242,7 +250,14 @@ def build_fused_blocks(index: FmIndexData) -> np.ndarray:
     return fused
 
 
-def to_device(index: FmIndexData, *, sharding=None, device=None, build_sweep: bool = False) -> FmDeviceIndex:
+def to_device(
+    index: FmIndexData,
+    *,
+    sharding=None,
+    device=None,
+    build_sweep: bool = False,
+    minimal: bool = False,
+) -> FmDeviceIndex:
     """Ship a host index to the device(s).
 
     `sharding`: optional dict component-name -> jax.sharding.Sharding to
@@ -252,6 +267,13 @@ def to_device(index: FmIndexData, *, sharding=None, device=None, build_sweep: bo
     is single-device placement by jnp.asarray.  `build_sweep` additionally
     ships the transposed-per-tile layout for the sorted-sweep hot path
     (ops/sweep.py; doubles the block payload in HBM).
+
+    `minimal=True` ships only what the rank/backward-search kernels touch
+    (fused blocks + prefix sums + codec LUTs); the locate/verify/seed
+    tables are 1-element placeholders.  Used by the device k-mer table
+    build (ops/kmer.py), whose update_range loop never locates or
+    verifies - shipping the full index there cost GBs of dead HBM (and,
+    at chr1 scale with mark=1 fat rows, an outright OOM).
     """
     if index.bwt_len >= 2**32:
         raise NotImplementedError(
@@ -270,6 +292,27 @@ def to_device(index: FmIndexData, *, sharding=None, device=None, build_sweep: bo
         index.text_sampled_sa if index.has_marks else index.sampled_sa
     )
     fused = build_fused_blocks(index)
+    if minimal:
+        dummy = np.zeros(1, dtype=np.uint32)
+        return FmDeviceIndex(
+            blocks=put("blocks", fused),
+            prefix_sums=put("prefix_sums", index.prefix_sums.astype(np.uint32)),
+            sampled_sa=put("sampled_sa", dummy),
+            text_sampled_sa=put("text_sampled_sa", dummy),
+            kmer_table=put("kmer_table", np.zeros((1, 2), dtype=np.uint32)),
+            seq_starts=put("seq_starts", index.seq_starts.astype(np.uint32)),
+            index_to_code=put("index_to_code", index_to_code_table(index.alphabet).astype(np.uint32)),
+            code_to_index=put("code_to_index", code_to_index_table(index.alphabet).astype(np.int32)),
+            index_to_dense=put("index_to_dense", index_to_dense_table(index.alphabet).astype(np.int32)),
+            alphabet=index.alphabet,
+            sa_ratio=index.sa_ratio,
+            bwt_len=index.bwt_len,
+            # kmer_len 0 = "table disabled": the placeholder table must never
+            # seed a search (ops/search.py takes the pure backward path).
+            kmer_len=0,
+            has_marks=index.has_marks,
+            mark_ratio=index.resolved_mark_ratio,
+        )
     sweep_arr = None
     text_sweep_arr = None
     text_rows8_arr = None
@@ -323,7 +366,16 @@ def to_device(index: FmIndexData, *, sharding=None, device=None, build_sweep: bo
             sa_sweep_arr = put("sa_sweep", sweep8(text_sampled.astype(np.uint32)))
     marked_sa8_arr = None
     vw_arr, vw_s, vw_w = None, 0, 0
-    if index.resolved_mark_ratio == 1 and index.has_marks and not build_sweep:
+    if (
+        index.resolved_mark_ratio == 1
+        and index.has_marks
+        and not build_sweep
+        # HARD size gate, not a heuristic: these tables cost 4 B (marked_sa8)
+        # and 3 x 32 B (verify_windows + its sweep/flat copies) PER BWT ROW -
+        # at chr1 scale that is ~25 GB of HBM.  Past the gate the verify path
+        # falls back to walk + text compare (exact, just slower).
+        and index.bwt_len <= VMEM_REGIME_MAX_ROWS
+    ):
         flat = text_sampled.astype(np.uint32)
         n8 = -(-flat.shape[0] // 8)
         sa8 = np.zeros((n8, 8), dtype=np.uint32)

@@ -276,3 +276,55 @@ def test_crumb_wire_selection_and_parity(rng):
     # Mixed batch (nibble wire) agrees on the shared queries.
     counts2 = eng.count_batch(pure + [b"ACGTNACGTA"])
     np.testing.assert_array_equal(counts2[: len(pure)], counts)
+
+
+def test_vmem_regime_gate_skips_fat_tables(rng, monkeypatch):
+    """Above VMEM_REGIME_MAX_ROWS the per-BWT-row extras (verify_windows fat
+    rows, marked_sa8) must NOT ship - at chr1 scale they cost ~25 GB of HBM
+    (the round-2 fresh-build OOM) - and the engine must still answer exactly
+    through the walk + text-compare fallback."""
+    import awry_tpu.ops.device_index as di
+
+    text = random_seq(Alphabet.NUCLEOTIDE, rng, 1500)
+    index = build_from_records(
+        [("s", text)], FmBuildArgs(lookup_table_kmer_len=3, locate_mark_ratio=1)
+    )
+    assert to_device(index).verify_windows is not None  # under the gate
+
+    monkeypatch.setattr(di, "VMEM_REGIME_MAX_ROWS", 64)
+    dev = to_device(index)
+    assert dev.verify_windows is None
+    assert dev.vw_sweep is None and dev.vw_flat is None
+    assert dev.marked_sa8 is None
+
+    engine = FmQueryEngine(dev)
+    kmap = kmer_position_map(text, 12)
+    queries = list(kmap.keys())[:32]
+    counts, results = engine.count_locate_batch(queries)
+    for q, c, hits in zip(queries, counts, results):
+        positions = kmap[q]
+        assert int(c) == len(positions), q
+        assert sorted(hits) == sorted(localize(positions, index.seq_starts)), q
+
+
+def test_minimal_device_index_serves_ranges(rng):
+    """minimal=True ships rank machinery only; backward search over it must
+    match the host engine (the device k-mer build depends on this)."""
+    import jax.numpy as jnp
+
+    from awry_tpu.ops.engine import encode_query_batch
+    from awry_tpu.ops.search import search_ranges
+
+    text = random_seq(Alphabet.NUCLEOTIDE, rng, 1200)
+    index = build_from_records([("s", text)], FmBuildArgs(lookup_table_kmer_len=3))
+    dev = to_device(index, minimal=True)
+    assert dev.text_packed is None and dev.verify_windows is None
+    assert dev.kmer_len == 0  # placeholder table must never seed a search
+
+    queries = [bytes(random_seq(Alphabet.NUCLEOTIDE, rng, 9)) for _ in range(24)]
+    qs, ql = encode_query_batch(index.alphabet, queries)
+    starts, ends = search_ranges(dev, jnp.asarray(qs), jnp.asarray(ql))
+    enc = he._encode_queries(index.alphabet, queries)
+    for i, syms in enumerate(enc):
+        hs, hend = he.search_range_for_symbols(index, syms)
+        assert (int(starts[i]), int(ends[i])) == (int(hs), int(hend))

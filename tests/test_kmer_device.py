@@ -23,6 +23,10 @@ def test_device_table_matches_host(alphabet, k, rng):
     host_table = populate_kmer_table(index)
     device_table = populate_kmer_table_device(to_device(index))
     np.testing.assert_array_equal(device_table, host_table)
+    # The minimal device index (what the builder ships: rank machinery only,
+    # no locate/verify tables) must build the identical table.
+    minimal_table = populate_kmer_table_device(to_device(index, minimal=True))
+    np.testing.assert_array_equal(minimal_table, host_table)
 
 
 def test_builder_device_flag(rng):
