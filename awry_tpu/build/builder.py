@@ -39,7 +39,10 @@ def bwt_symbols_from_sa(text_syms: np.ndarray, sa: np.ndarray) -> np.ndarray:
     ext[-1] = 0
     # Unsigned-safe prev-position: the single sa==0 row maps to index n (the
     # appended sentinel).  Stays in the SA's own (possibly 4-byte) dtype.
-    idx = np.where(sa == 0, sa.dtype.type(n), sa - sa.dtype.type(1))
+    # One subtract + a scalar patch at argmin (the unique sa==0 row) — the
+    # np.where form cost ~30 s at 250M rows in temporaries.
+    idx = sa - sa.dtype.type(1)
+    idx[int(np.argmin(sa))] = sa.dtype.type(n)
     return gather_u8(ext, idx)
 
 
@@ -134,12 +137,15 @@ def build_from_sequence_data(seq_data: SequenceData, args: FmBuildArgs) -> FmInd
     mark_ratio = args.resolved_mark_ratio()
     num_blocks = planes.shape[0]
     marked = np.zeros(num_blocks * SYMBOLS_PER_BLOCK, dtype=np.uint8)
-    marked[: sa.shape[0]] = (sa % mark_ratio) == 0
+    marked[: sa.shape[0]] = 1 if mark_ratio == 1 else (sa % mark_ratio) == 0
     mark_bits = np.packbits(marked, bitorder="little").view("<u4").reshape(num_blocks, 8)
     per_block_marked = marked.reshape(num_blocks, SYMBOLS_PER_BLOCK).sum(axis=1, dtype=np.uint32)
     mark_milestones = np.zeros(num_blocks, dtype=np.uint32)
     np.cumsum(per_block_marked[:-1], out=mark_milestones[1:], dtype=np.uint32)
-    text_sampled_sa = sa[marked[: sa.shape[0]].astype(bool)].astype(np.uint64)
+    if mark_ratio == 1:  # every row marked: skip the 250M+-row boolean index
+        text_sampled_sa = sa.astype(np.uint64)
+    else:
+        text_sampled_sa = sa[marked[: sa.shape[0]].astype(bool)].astype(np.uint64)
 
     # Packed text for the seed-walk-verify serving path (ops/verify.py):
     # symbol indices at 4 (nucleotide) or 8 (amino) bits, little-endian

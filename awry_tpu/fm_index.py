@@ -135,6 +135,15 @@ class FmIndex:
 
                 self._device_engine = FmQueryEngine(self.data)
             except Exception:
+                # Correctness is preserved by the host engine, but it is
+                # orders of magnitude slower — never demote silently.
+                import logging
+
+                logging.getLogger("awry_tpu").warning(
+                    "device query engine construction failed; parallel_count/"
+                    "parallel_locate fall back to the host engine (slow)",
+                    exc_info=True,
+                )
                 self._device_engine = False
         return self._device_engine
 

@@ -131,6 +131,17 @@ class FmQueryEngine:
         # jitted wrappers as part of the abstract value, so the unpack
         # branch is static and pre-encoded (qsyms, qlens[, n]) tuples flow
         # through every existing call site unchanged.
+        # Serving-shape counters (read by benchmarks/ops dashboards): how
+        # often the verify fast path applies vs wide-group settling / classic
+        # re-dispatch.  Updated per batch in _flat_verify_finish.
+        self.stats = {
+            "batches": 0,
+            "queries": 0,
+            "fast_path_batches": 0,
+            "wide_lanes": 0,
+            "redis_lanes": 0,
+            "multi_hit_queries": 0,
+        }
         self._wire_packed = self.device_index.alphabet.cardinality <= 16
         if self._wire_packed:
             dense_lut = index_to_dense_table(self.device_index.alphabet)
@@ -344,6 +355,9 @@ class FmQueryEngine:
             bundle, B, wide_groups(B)
         )
         counts = counts_b[:n]
+        st = self.stats
+        st["batches"] += 1
+        st["queries"] += n
         # Fast path: every lane verified with exactly one hit, none wide or
         # re-dispatched — the overwhelmingly common serving shape (unique-ish
         # reads).  flat positions == the bundle positions; skip the scatter
@@ -355,6 +369,7 @@ class FmQueryEngine:
             and counts.min(initial=2) == 1
             and counts.max(initial=0) == 1
         ):
+            st["fast_path_batches"] += 1
             offsets = np.arange(n + 1, dtype=np.int64)
             return counts, pos_u[:n].astype(np.int64), offsets
         pos = pos_u[:n].astype(np.int64)
@@ -398,6 +413,9 @@ class FmQueryEngine:
         vg = lane_g < n
         wide_settled = np.zeros(n, dtype=bool)
         wide_settled[lane_g[vg]] = True
+        st["wide_lanes"] += int(wide_settled.sum())
+        st["redis_lanes"] += int(redis.sum())
+        st["multi_hit_queries"] += int((counts > 1).sum())
         settled = (~redis) & (counts == 1) & ~wide_settled
         flat_pos[offsets[:-1][settled]] = pos[settled]
         sel2 = ok_slot & vg[:, None]
@@ -564,6 +582,23 @@ class FmQueryEngine:
         seq_idx = np.searchsorted(starts, text_pos, side="right") - 1
         local = text_pos.astype(np.int64) - starts[seq_idx]
         return seq_idx, local
+
+    def release(self) -> None:
+        """Delete this engine's device buffers NOW (don't wait for GC).
+
+        Benchmarks and servers that cycle through multiple indexes on one
+        chip must free the previous index's HBM before building the next —
+        round 2's cross-config RESOURCE_EXHAUSTED came from relying on
+        gc.collect() alone.  The engine is unusable afterwards."""
+        import jax as _jax
+
+        for leaf in _jax.tree_util.tree_leaves(self.device_index):
+            if hasattr(leaf, "delete"):
+                try:
+                    leaf.delete()
+                except Exception:
+                    pass
+        self.device_index = None
 
     def warmup(self, *, batch_sizes=(16,), query_lens=(8,), cap: int = 8) -> None:
         """Pre-compile the count and fused count+locate programs for the

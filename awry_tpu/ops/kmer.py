@@ -89,8 +89,17 @@ def populate_kmer_table_device(index: FmDeviceIndex, kmer_len: int | None = None
     """
     alphabet = index.alphabet
     base = alphabet.num_encoding_symbols
+    if kmer_len is None and index.kmer_len == 0:
+        # A minimal device index (to_device(minimal=True)) carries kmer_len=0
+        # ("table disabled"); silently returning the 1-entry placeholder here
+        # would quietly disable seeding for the caller.  Production call sites
+        # (build/builder.py, io/awry_format.py) pass kmer_len explicitly.
+        raise ValueError(
+            "device index has no k-mer table (kmer_len=0); pass kmer_len "
+            "explicitly to build one"
+        )
     k = kmer_len if kmer_len is not None else index.kmer_len
-    if k == 0:  # table disabled: single canonical-empty entry, never read
+    if k == 0:  # explicit k=0: single canonical-empty entry, never read
         return np.array([[1, 0]], dtype=np.uint64)
     raw_syms = dense_to_index_table(alphabet).astype(np.int32)  # dense rank -> raw index
     syms = jnp.asarray(raw_syms)

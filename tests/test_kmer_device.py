@@ -24,9 +24,14 @@ def test_device_table_matches_host(alphabet, k, rng):
     device_table = populate_kmer_table_device(to_device(index))
     np.testing.assert_array_equal(device_table, host_table)
     # The minimal device index (what the builder ships: rank machinery only,
-    # no locate/verify tables) must build the identical table.
-    minimal_table = populate_kmer_table_device(to_device(index, minimal=True))
+    # no locate/verify tables) must build the identical table.  It carries
+    # kmer_len=0, so the build k is passed explicitly — and omitting it must
+    # raise rather than silently return the disabled-table placeholder.
+    minimal = to_device(index, minimal=True)
+    minimal_table = populate_kmer_table_device(minimal, k)
     np.testing.assert_array_equal(minimal_table, host_table)
+    with pytest.raises(ValueError, match="kmer_len"):
+        populate_kmer_table_device(minimal)
 
 
 def test_builder_device_flag(rng):
