@@ -207,6 +207,121 @@ def stream_fasta(path: str, alphabet: Alphabet, *, chunk_bytes: int = 1 << 26) -
     )
 
 
+def stream_fastq(path: str, alphabet: Alphabet, *, chunk_bytes: int = 1 << 26) -> SequenceData:
+    """Streaming FASTQ ingestion (round-2 verdict missing #3).
+
+    Reads the file in chunks, processes only COMPLETE lines per chunk
+    (partial trailing lines carry over), classifies lines by their position
+    in the 4-line record cycle, and mask-copies all sequence-line bytes of a
+    chunk into one preallocated output buffer in a single vectorized gather
+    — no per-read Python loop on the sequence path.  Peak memory is ~1x the
+    file size (the slurp path peaks ~3x on top of the line list).
+
+    Record semantics match parse_fastq bit-for-bit (tested against it):
+    blank lines are skipped, '\\r' and surrounding whitespace are stripped,
+    header lines must start with '@' and separator lines with '+'.
+    """
+    size = os.path.getsize(path)
+    out = np.empty(size, dtype=np.uint8)
+    write = 0
+    starts: list[int] = []
+    headers: list[str] = []
+    delim = alphabet.delimiter[0]
+    phase = 0  # 0=header, 1=sequence, 2=plus, 3=quality
+    leftover = b""
+
+    def process(arr: np.ndarray, nls: np.ndarray) -> None:
+        nonlocal write, phase
+        line_starts = np.empty(nls.shape[0], dtype=np.int64)
+        line_starts[0] = 0
+        line_starts[1:] = nls[:-1] + 1
+        ends = nls.copy()
+        # Strip surrounding whitespace ('\r', blanks, tabs) from every line,
+        # matching the slurp path's .strip().
+        ws = np.frombuffer(b"\r \t", dtype=np.uint8)
+        trim = (ends > line_starts) & np.isin(arr[np.maximum(ends - 1, 0)], ws)
+        while trim.any():
+            ends[trim] -= 1
+            trim = (ends > line_starts) & np.isin(arr[np.maximum(ends - 1, 0)], ws)
+        trim = (line_starts < ends) & np.isin(arr[np.minimum(line_starts, arr.shape[0] - 1)], ws)
+        while trim.any():
+            line_starts[trim] += 1
+            trim = (line_starts < ends) & np.isin(
+                arr[np.minimum(line_starts, arr.shape[0] - 1)], ws
+            )
+        lengths = ends - line_starts
+        nonempty = lengths > 0
+        line_starts, ends, lengths = line_starts[nonempty], ends[nonempty], lengths[nonempty]
+        if not line_starts.shape[0]:
+            return
+        phases = (np.arange(line_starts.shape[0]) + phase) % 4
+        phase = int((phase + line_starts.shape[0]) % 4)
+
+        head_sel = phases == 0
+        if not (arr[line_starts[head_sel]] == 0x40).all():  # '@'
+            raise ValueError("malformed FASTQ record: header line must start with '@'")
+        plus_sel = phases == 2
+        if not (arr[line_starts[plus_sel]] == 0x2B).all():  # '+'
+            raise ValueError("malformed FASTQ record: separator line must start with '+'")
+        for s, e in zip(line_starts[head_sel], ends[head_sel]):
+            headers.append(arr[s + 1 : e].tobytes().decode("utf-8", errors="replace").strip())
+
+        seq_sel = phases == 1
+        s_starts, s_lens = line_starts[seq_sel], lengths[seq_sel]
+        if not s_starts.shape[0]:
+            return
+        total = int(s_lens.sum())
+        # Per-record target start inside `out`: one delimiter before every
+        # record except the global first (src/fm_index.rs:148-152).
+        n_rec = s_starts.shape[0]
+        first_global = not starts
+        lens_cum = np.zeros(n_rec, dtype=np.int64)
+        np.cumsum(s_lens[:-1], out=lens_cum[1:])
+        delims = np.arange(n_rec, dtype=np.int64) + (0 if first_global else 1)
+        tgt = write + lens_cum + delims
+        if not first_global:
+            out[tgt - 1] = delim
+        elif n_rec > 1:
+            out[tgt[1:] - 1] = delim
+        starts.extend(tgt.tolist())
+        # One flat gather for all sequence bytes of the chunk.
+        src_idx = np.repeat(s_starts, s_lens) + (
+            np.arange(total, dtype=np.int64) - np.repeat(lens_cum, s_lens)
+        )
+        dst_idx = np.repeat(tgt, s_lens) + (
+            np.arange(total, dtype=np.int64) - np.repeat(lens_cum, s_lens)
+        )
+        out[dst_idx] = arr[src_idx]
+        write = int(tgt[-1] + s_lens[-1])
+
+    with open(path, "rb") as f:
+        while True:
+            chunk = f.read(chunk_bytes)
+            if not chunk:
+                break
+            buf = leftover + chunk if leftover else chunk
+            arr = np.frombuffer(buf, dtype=np.uint8)
+            nls = np.flatnonzero(arr == 0x0A)
+            if nls.shape[0] == 0:
+                leftover = buf
+                continue
+            cut = int(nls[-1]) + 1
+            leftover = buf[cut:]
+            process(arr[:cut], nls)
+    if leftover:
+        arr = np.frombuffer(leftover + b"\n", dtype=np.uint8)
+        process(arr, np.asarray([arr.shape[0] - 1], dtype=np.int64))
+    if phase != 0:
+        raise ValueError("FASTQ record count is not a multiple of 4 lines")
+    if not headers:
+        raise ValueError("input contains no sequence records")
+    return SequenceData(
+        text=normalize_text(alphabet, out[:write]),
+        start_positions=np.asarray(starts, dtype=np.int64),
+        headers=headers,
+    )
+
+
 # Files above this size take the streaming path (the slurp path peaks ~3x).
 STREAM_THRESHOLD_BYTES = 256 * 1024 * 1024
 
@@ -214,14 +329,15 @@ STREAM_THRESHOLD_BYTES = 256 * 1024 * 1024
 def read_sequence_file(path: str, alphabet: Alphabet) -> SequenceData:
     """Read a FASTA or FASTQ file into concatenated canonical text.
 
-    Large FASTA files stream (see stream_fasta); FASTQ and small FASTA take
-    the in-memory parse."""
+    Large files stream (stream_fasta / stream_fastq); small ones take the
+    in-memory parse."""
     size = os.path.getsize(path)
     if size > STREAM_THRESHOLD_BYTES:
         with open(path, "rb") as f:
             head = f.read(1)
-        if head != b"@" and not _looks_like_fastq(path, head):
-            return stream_fasta(path, alphabet)
+        if head == b"@" or _looks_like_fastq(path, head):
+            return stream_fastq(path, alphabet)
+        return stream_fasta(path, alphabet)
     with open(path, "rb") as f:
         data = f.read()
     records = parse_fastq(data) if _looks_like_fastq(path, data) else parse_fasta(data)

@@ -282,6 +282,8 @@ def to_device(
         )
 
     def put(name: str, arr: np.ndarray) -> jax.Array:
+        if sharding is not None and not isinstance(sharding, dict):
+            return jax.device_put(arr, sharding)  # one sharding for all
         if sharding and name in sharding:
             return jax.device_put(arr, sharding[name])
         if device is not None:

@@ -81,6 +81,7 @@ class FmQueryEngine:
         use_sweep: bool | None = None,
         use_verify: bool | None = None,
         strict: bool = False,
+        mesh=None,
     ):
         """``strict=True`` is the debug/sanitizer mode (SURVEY.md section 5):
         host indexes are value-validated before shipping, and pre-encoded
@@ -96,8 +97,34 @@ class FmQueryEngine:
         (ops/verify.py); None enables it whenever the index carries packed
         text + marks (both regimes: it replaces most post-seed rank sweeps
         with one text compare AND ships results as one packed transfer).
-        False forces the classic full-depth path."""
+        False forces the classic full-depth path.
+
+        ``mesh`` turns on data-parallel serving over a jax.sharding.Mesh
+        (Mode A, round-2 verdict task 5): the index — including the sweep
+        copies, verify fat rows and k-mer table — is REPLICATED on every
+        device, query batches shard over the mesh's 'data' axis, and every
+        kernel (sweep + verify included) runs per-device under shard_map
+        with zero hot-path collectives.  The mesh's non-'data' axes must be
+        size 1 (range sharding lives in parallel.sharding.ShardedFmEngine);
+        the data axis size must be a power of two (padded wire batches are
+        power-of-two bucketed)."""
         self.strict = strict
+        self._mesh = mesh
+        if mesh is not None:
+            names = mesh.axis_names
+            self._data_axis = "data" if "data" in names else names[0]
+            for a in names:
+                if a != self._data_axis and mesh.shape[a] != 1:
+                    raise ValueError(
+                        f"FmQueryEngine mesh axis {a!r} must be size 1 "
+                        "(use ShardedFmEngine for range sharding)"
+                    )
+            self._data_shards = mesh.shape[self._data_axis]
+            if self._data_shards & (self._data_shards - 1):
+                raise ValueError("mesh data axis size must be a power of two")
+        else:
+            self._data_axis = None
+            self._data_shards = 1
         # Host copy (when available): redis lanes - the odd lane per batch
         # whose step-s range exceeds WIDE_CAP - are served by the NumPy
         # engine in microseconds instead of a SYNCHRONOUS classic device
@@ -116,7 +143,14 @@ class FmQueryEngine:
                     and index.planes.nbytes >= 8 * 1024 * 1024
                     and jax.default_backend() == "tpu"
                 )
-            self.device_index = to_device(index, build_sweep=use_sweep)
+            replicate = None
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                replicate = NamedSharding(mesh, PartitionSpec())
+            self.device_index = to_device(
+                index, build_sweep=use_sweep, sharding=replicate
+            )
         else:
             self.device_index = index
         from ..alphabet import index_to_dense_table
@@ -173,6 +207,52 @@ class FmQueryEngine:
             return wrapped
 
         self._wrap = wrap
+
+        # Data-parallel jit seam: without a mesh, kernels jit as-is; with
+        # one, each kernel runs per-device under shard_map (index replicated,
+        # batch axis 0 sharded over 'data') — the Pallas sweep requires
+        # shard_map (it cannot be auto-partitioned), and per-device batches
+        # keep its request density.  Static kwargs (cap / s) are bound with
+        # partial per value and memoized (shard_map has no static_argnames).
+        if mesh is not None:
+            from functools import partial as _partial
+
+            from jax import shard_map as _shard_map
+            from jax.sharding import PartitionSpec as _P
+
+            dp = _P(self._data_axis)
+            index_specs = jax.tree.map(lambda _: _P(), self.device_index)
+
+            def jit_kernel(fn, out_specs, static=()):
+                cache = {}
+
+                def call(idx, *args, **kw):
+                    key = tuple(sorted(kw.items()))
+                    if key not in cache:
+                        bound = _partial(fn, **kw) if kw else fn
+                        nargs = len(args)
+                        cache[key] = jax.jit(
+                            _shard_map(
+                                bound,
+                                mesh=mesh,
+                                in_specs=(index_specs,) + (dp,) * nargs,
+                                out_specs=out_specs,
+                                check_vma=False,
+                            )
+                        )
+                    return cache[key](idx, *args)
+
+                return call
+
+            self._jit_kernel = jit_kernel
+        else:
+            dp = None
+
+            def jit_kernel(fn, out_specs, static=()):  # noqa: ARG001
+                return jax.jit(fn, static_argnames=static)
+
+            self._jit_kernel = jit_kernel
+
         # One default per regime (round-1 verdict weak #4): VMEM-scale
         # indexes take the plain lane-major XLA rank, HBM-scale ones the
         # sorted sweep; the round-1 per-row Pallas paths (rank_pallas,
@@ -180,10 +260,12 @@ class FmQueryEngine:
         # (BASELINE.md round-2 measurements).
         from .search import count_batch_kernel_t, search_ranges_t
 
-        self._count_fn = jax.jit(wrap(count_batch_kernel_t))
-        self._ranges_fn = jax.jit(wrap(search_ranges_t))
-        self._walk_fn = jax.jit(lf_walk)
-        self._count_locate_fn = jax.jit(wrap(count_locate_capped_t), static_argnames=("cap",))
+        self._count_fn = jit_kernel(wrap(count_batch_kernel_t), dp)
+        self._ranges_fn = jit_kernel(wrap(search_ranges_t), (dp, dp))
+        self._walk_fn = jit_kernel(lf_walk, dp)
+        self._count_locate_fn = jit_kernel(
+            wrap(count_locate_capped_t), (dp, dp, dp, dp), static=("cap",)
+        )
         self._seq_starts_host = np.asarray(self.device_index.seq_starts).astype(np.int64)
 
         # Seed-walk-verify serving path (ops/verify.py): the default fused
@@ -202,7 +284,10 @@ class FmQueryEngine:
             from .verify import TEXT_PAD_WORDS, count_locate_verify_t, switch_step
 
             self._verify_s = switch_step(dev)
-            self._verify_fn = jax.jit(wrap(count_locate_verify_t), static_argnames=("s",))
+            self._verify_fn = self._jit_kernel(
+                wrap(count_locate_verify_t), (dp, dp, dp) if mesh is not None else None,
+                static=("s",),
+            )
             # Longest padded query the backward text-window gather covers;
             # longer batches fall back to the classic path per dispatch.
             spw = 8 if dev.alphabet.cardinality <= 16 else 4
@@ -231,7 +316,9 @@ class FmQueryEngine:
         reads) take a fully vectorized path: one concatenated frombuffer +
         one LUT pass instead of a per-query Python loop.
         """
-        qsyms, qlens = encode_query_batch(self.device_index.alphabet, queries)
+        qsyms, qlens = encode_query_batch(
+            self.device_index.alphabet, queries, min_batch=max(16, self._data_shards)
+        )
         if self._wire_packed:
             # Crumb (2-bit) wire when every IN-RANGE symbol is a dense
             # encoding symbol (pure A/C/G/T; sentinels/ambiguity force the
@@ -346,14 +433,23 @@ class FmQueryEngine:
         return self._flat_verify_finish(n, qsyms, qlens, cap, out)
 
     def _flat_verify_finish(self, n, qsyms, qlens, cap, out):
-        from .verify import unpack_verify_bundle, wide_groups
+        from .verify import (
+            unpack_verify_bundle,
+            unpack_verify_bundle_sharded,
+            wide_groups,
+        )
 
         bundle_d, _s, _e = out
         B = _s.shape[0]
         bundle = np.asarray(bundle_d)  # the ONE device->host transfer
-        pos_u, counts_b, redis_b, lane_g, pos_slot, ok_slot = unpack_verify_bundle(
-            bundle, B, wide_groups(B)
-        )
+        if self._data_shards > 1:
+            pos_u, counts_b, redis_b, lane_g, pos_slot, ok_slot = (
+                unpack_verify_bundle_sharded(bundle, B, self._data_shards)
+            )
+        else:
+            pos_u, counts_b, redis_b, lane_g, pos_slot, ok_slot = unpack_verify_bundle(
+                bundle, B, wide_groups(B)
+            )
         counts = counts_b[:n]
         st = self.stats
         st["batches"] += 1
@@ -391,7 +487,7 @@ class FmQueryEngine:
                 # wire batch never round-trips back through the tunnel);
                 # padding slots select wire row 0 (np.zeros below) and are
                 # sliced off by _flat_classic's [:n].
-                b = _bucket(len(idxs))
+                b = _bucket(len(idxs), minimum=max(16, self._data_shards))
                 pad_idx = np.zeros(b, dtype=np.int32)
                 pad_idx[: len(idxs)] = idxs
                 sel = jnp.asarray(pad_idx)
@@ -501,7 +597,7 @@ class FmQueryEngine:
             o_starts = starts.astype(np.int64)[over]
             o_counts = counts[over]
             o_total = int(o_counts.sum())
-            rows = np.zeros(_bucket(o_total), dtype=np.uint32)
+            rows = np.zeros(_bucket(o_total, minimum=max(16, self._data_shards)), dtype=np.uint32)
             o_cum = np.concatenate(([0], np.cumsum(o_counts)))
             o_within = np.arange(o_total, dtype=np.int64) - np.repeat(o_cum[:-1], o_counts)
             rows[:o_total] = (np.repeat(o_starts, o_counts) + o_within).astype(np.uint32)
@@ -661,14 +757,35 @@ class FmQueryEngine:
             ).sum()
 
         wrap = self._wrap
-        verify_digest = jax.jit(
-            lambda idx, qs, ql, s: _reduce(wrap(count_locate_verify_t)(idx, qs, ql, s=s)),
-            static_argnames=("s",),
-        )
-        classic_digest = jax.jit(
-            lambda idx, qs, ql, cap: _reduce(wrap(count_locate_capped_t)(idx, qs, ql, cap=cap)),
-            static_argnames=("cap",),
-        )
+        if self._mesh is not None:
+            # Per-device digests, psum-merged to one replicated scalar.
+            from jax.sharding import PartitionSpec as _P
+
+            axis = self._data_axis
+
+            def _vd(idx, qs, ql, *, s):
+                return jax.lax.psum(
+                    _reduce(wrap(count_locate_verify_t)(idx, qs, ql, s=s)), axis
+                )
+
+            def _cd(idx, qs, ql, *, cap):
+                return jax.lax.psum(
+                    _reduce(wrap(count_locate_capped_t)(idx, qs, ql, cap=cap)), axis
+                )
+
+            verify_digest_k = self._jit_kernel(_vd, _P(), static=("s",))
+            classic_digest_k = self._jit_kernel(_cd, _P(), static=("cap",))
+            verify_digest = lambda idx, qs, ql, s: verify_digest_k(idx, qs, ql, s=s)  # noqa: E731
+            classic_digest = lambda idx, qs, ql, cap: classic_digest_k(idx, qs, ql, cap=cap)  # noqa: E731
+        else:
+            verify_digest = jax.jit(
+                lambda idx, qs, ql, s: _reduce(wrap(count_locate_verify_t)(idx, qs, ql, s=s)),
+                static_argnames=("s",),
+            )
+            classic_digest = jax.jit(
+                lambda idx, qs, ql, cap: _reduce(wrap(count_locate_capped_t)(idx, qs, ql, cap=cap)),
+                static_argnames=("cap",),
+            )
 
         def one_pass():
             digests = []

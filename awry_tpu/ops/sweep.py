@@ -349,6 +349,14 @@ def _unsort(sval: jax.Array, *arrays):
     return outs
 
 
+# Trace-time dispatch counters: tests and multichip dryruns assert the
+# sweep hot path actually engaged (the gates in sweep_suits /
+# window_sweep_suits silently fall back to plain gathers otherwise).  A
+# counter ticks when a sweep kernel is TRACED into a program (once per
+# compiled shape, not per dispatch) — enough to prove the path is live.
+TRACE_COUNTS = {"occurrence_sweep": 0, "window_sweep": 0}
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def occurrence_sweep(index: FmDeviceIndex, pos: jax.Array, sym: jax.Array, *, interpret: bool = False):
     """Occ(pos[i], sym[i]) over a large request batch via the sorted sweep.
@@ -356,6 +364,7 @@ def occurrence_sweep(index: FmDeviceIndex, pos: jax.Array, sym: jax.Array, *, in
     Returns (occ uint32 [R], covered bool [R]); covered=False lanes were not
     computed (their chunk spanned more than two windows) and must be
     recomputed through the plain-gather path (rank.occurrence)."""
+    TRACE_COUNTS["occurrence_sweep"] += 1
     r = pos.shape[0]
     val = (jnp.arange(r, dtype=jnp.int32) << _VAL_SHIFT) | sym.astype(jnp.int32)
     nt = index.blocks_sweep.shape[0]
@@ -674,6 +683,7 @@ def window_sweep(sweep_arr, flat_arr, wbase: jax.Array, k: int, *, interpret: bo
     return in-bounds garbage that callers mask.
     """
     assert k >= 2
+    TRACE_COUNTS["window_sweep"] += 1
     r = wbase.shape[0]
     nt = sweep_arr.shape[0]
     wb = jnp.clip(wbase, jnp.uint32(k - 1), jnp.uint32(flat_arr.shape[0] - 1))

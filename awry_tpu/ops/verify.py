@@ -407,3 +407,31 @@ def unpack_verify_bundle(bundle: "np.ndarray", batch: int, groups: int):
     pos_slot = meta[:, 1 : 1 + WIDE_CAP]
     ok_slot = ((meta[:, 1 + WIDE_CAP][:, None] >> np.arange(WIDE_CAP)) & 1).astype(bool)
     return pos, counts, redis, lane_g, pos_slot, ok_slot
+
+
+def unpack_verify_bundle_sharded(bundle: "np.ndarray", batch: int, shards: int):
+    """Unpack a data-sharded verify dispatch's result buffer.
+
+    Under shard_map (FmQueryEngine(mesh=...)) each device packs its OWN
+    bundle over its local batch/shards lanes; out_specs concatenate them.
+    This splits per device, unpacks each, rebases the wide-group lane ids
+    to global lane numbers (empties -> batch), and concatenates — callers
+    see exactly unpack_verify_bundle's contract for the global batch."""
+    import numpy as np
+
+    bl = batch // shards
+    gl = wide_groups(bl)
+    chunk = bundle.shape[0] // shards
+    parts = [
+        unpack_verify_bundle(bundle[i * chunk : (i + 1) * chunk], bl, gl)
+        for i in range(shards)
+    ]
+    pos = np.concatenate([p[0] for p in parts])
+    counts = np.concatenate([p[1] for p in parts])
+    redis = np.concatenate([p[2] for p in parts])
+    lane_g = np.concatenate(
+        [np.where(p[3] < bl, p[3] + i * bl, batch) for i, p in enumerate(parts)]
+    )
+    pos_slot = np.concatenate([p[4] for p in parts])
+    ok_slot = np.concatenate([p[5] for p in parts])
+    return pos, counts, redis, lane_g, pos_slot, ok_slot

@@ -41,3 +41,23 @@ def random_amino(rng, n: int) -> bytes:
 
 def random_seq(alphabet: Alphabet, rng, n: int) -> bytes:
     return random_dna(rng, n) if alphabet is Alphabet.NUCLEOTIDE else random_amino(rng, n)
+
+
+# Fast inner-loop subset (round-2 verdict task 10): `pytest -m smoke` runs in
+# well under a minute, so every milestone can afford a pre-commit run.  The
+# heavy modules (fuzz, spawned multi-process, Pallas-interpreter sweeps,
+# partition federation) stay full-suite-only.
+_SMOKE_MODULES = {
+    "test_alphabet",
+    "test_fm_index_api",
+    "test_suffix_array",
+    "test_io_formats",
+    "test_kmer_device",
+    "test_host_engine",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.module.__name__.rsplit(".", 1)[-1] in _SMOKE_MODULES:
+            item.add_marker(pytest.mark.smoke)

@@ -381,3 +381,43 @@ def dataclasses_replace_sa(index):
     bad_sa = index.sampled_sa.copy()
     bad_sa[0] = index.bwt_len + 5
     return dataclasses.replace(index, sampled_sa=bad_sa)
+
+
+def test_stream_fastq_matches_slurp(rng, tmp_path):
+    """The streaming FASTQ reader produces byte-identical SequenceData to the
+    in-memory parse — across chunk-straddling records, CRLF, blank lines,
+    '@'/'+' as quality bytes, and a file with no trailing newline."""
+    from awry_tpu.io.sequence_io import concat_records, parse_fastq, stream_fastq
+
+    recs = []
+    lines = []
+    for i in range(23):
+        ln = int(rng.integers(1, 400))
+        seq = random_seq(Alphabet.NUCLEOTIDE, rng, ln)
+        recs.append((f"read/{i} extra", seq))
+        # Quality line starting with '@' or '+' (legal FASTQ, parser trap).
+        qual = bytes([rng.choice([0x40, 0x2B])]) + bytes(
+            rng.integers(33, 74, size=ln - 1, dtype=np.uint8)
+        ) if ln > 1 else b"I"
+        lines += [f"@read/{i} extra".encode(), seq, b"+" + (b"opt" if i % 3 else b""), qual]
+        if i % 5 == 0:
+            lines.append(b"")  # blank line between records
+    payload = b"\r\n".join(lines)  # CRLF, no trailing newline
+    p = str(tmp_path / "reads.fastq")
+    with open(p, "wb") as f:
+        f.write(payload)
+    slurped = concat_records(parse_fastq(payload), Alphabet.NUCLEOTIDE)
+    for chunk in (13, 97, 4096, 1 << 20):
+        streamed = stream_fastq(p, Alphabet.NUCLEOTIDE, chunk_bytes=chunk)
+        np.testing.assert_array_equal(streamed.text, slurped.text, err_msg=str(chunk))
+        np.testing.assert_array_equal(streamed.start_positions, slurped.start_positions)
+        assert streamed.headers == slurped.headers
+
+    with open(str(tmp_path / "bad.fastq"), "wb") as f:
+        f.write(b"@r1\nACGT\nnotplus\nIIII\n")
+    with pytest.raises(ValueError, match="separator"):
+        stream_fastq(str(tmp_path / "bad.fastq"), Alphabet.NUCLEOTIDE, chunk_bytes=8)
+    with open(str(tmp_path / "trunc.fastq"), "wb") as f:
+        f.write(b"@r1\nACGT\n+\nIIII\n@r2\nTT\n")
+    with pytest.raises(ValueError, match="multiple of 4"):
+        stream_fastq(str(tmp_path / "trunc.fastq"), Alphabet.NUCLEOTIDE, chunk_bytes=8)

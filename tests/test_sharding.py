@@ -96,3 +96,79 @@ def test_sharded_locate_cap_overflow(rng):
     got = engine.locate_batch(queries)
     for q, hits in zip(queries, got):
         assert sorted(hits) == sorted(he.locate(index, q)), q
+
+
+# ---------------------------------------------------------------------------
+# Data-parallel FmQueryEngine(mesh=...): the FULL serving machinery (sorted
+# sweep, seed-walk-verify, crumb wire, ragged assembly) under shard_map
+# (round-2 verdict task 5).
+# ---------------------------------------------------------------------------
+
+
+def test_mesh_engine_full_serving_parity(rng):
+    """FmQueryEngine(mesh=2x'data') must reproduce the single-device engine
+    bit-for-bit through count/locate/count_locate_arrays — and the sweep +
+    verify hot paths must actually engage (TRACE_COUNTS), not silently fall
+    back to plain gathers.  (2 devices + 8k queries: the sweep's coverage
+    gate needs ~2k requests per device; 8 devices would need a 16k batch.)"""
+    import awry_tpu.ops.sweep as sweep_mod
+    from awry_tpu.ops import FmQueryEngine
+    from jax.sharding import Mesh
+
+    index, records = _build(Alphabet.NUCLEOTIDE, rng, n=120_000, kmer_len=5)
+    text = records[0][1]
+    mesh = Mesh(np.array(jax.devices()[:2]).reshape(2), ("data",))
+    ref = FmQueryEngine(index)
+    before = dict(sweep_mod.TRACE_COUNTS)
+    eng = FmQueryEngine(index, mesh=mesh, use_sweep=True)
+    assert eng._verify_enabled and eng._data_shards == 2
+
+    starts = rng.integers(0, len(text) - 25, size=8188)
+    queries = [text[s : s + 25] for s in starts]
+    queries += [b"ACGTACGTACGTACGTACGTACGTA", b"A", b"", text[5:9] * 6]
+
+    np.testing.assert_array_equal(eng.count_batch(queries), ref.count_batch(queries))
+
+    counts, seq_idx, local, offsets = eng.count_locate_arrays(queries, cap=2)
+    c2, s2, l2, o2 = ref.count_locate_arrays(queries, cap=2)
+    np.testing.assert_array_equal(counts, c2)
+    np.testing.assert_array_equal(offsets, o2)
+    for i in range(len(queries)):
+        a = sorted(zip(seq_idx[offsets[i]:offsets[i+1]].tolist(), local[offsets[i]:offsets[i+1]].tolist()))
+        b = sorted(zip(s2[o2[i]:o2[i+1]].tolist(), l2[o2[i]:o2[i+1]].tolist()))
+        assert a == b, i
+
+    after = dict(sweep_mod.TRACE_COUNTS)
+    assert sum(after.values()) > sum(before.values()), (
+        "sweep kernels never traced: the mesh engine fell back to plain gathers"
+    )
+
+
+def test_mesh_engine_stream_and_stats(rng):
+    """count_locate_stream pipelines over the mesh engine; serving-shape
+    stats accumulate; the crumb (2-bit) wire is exercised (pure-ACGT
+    queries) alongside the nibble wire (queries with N)."""
+    from awry_tpu.ops import FmQueryEngine
+    from jax.sharding import Mesh
+
+    index, records = _build(Alphabet.NUCLEOTIDE, rng, n=60_000, kmer_len=4)
+    text = records[0][1]
+    mesh = Mesh(np.array(jax.devices()).reshape(8), ("data",))
+    eng = FmQueryEngine(index, mesh=mesh)
+    ref = FmQueryEngine(index)
+
+    pure = [text[i : i + 20] for i in range(0, 2000, 13)]
+    with_n = [b"ACGTNACGT", b"NNN"] + pure[:6]
+    batches = [eng.encode_queries(pure) + (len(pure),), eng.encode_queries(with_n) + (len(with_n),)]
+    assert batches[0][0].dtype == np.int8  # crumb wire
+    ref_batches = [ref.encode_queries(pure) + (len(pure),), ref.encode_queries(with_n) + (len(with_n),)]
+
+    outs = list(eng.count_locate_stream(batches, cap=2))
+    refs = list(ref.count_locate_stream(ref_batches, cap=2))
+    for (c, si, lo, of), (rc, rsi, rlo, rof) in zip(outs, refs):
+        np.testing.assert_array_equal(c, rc)
+        np.testing.assert_array_equal(of, rof)
+        for i in range(len(c)):
+            assert sorted(zip(si[of[i]:of[i+1]].tolist(), lo[of[i]:of[i+1]].tolist())) == \
+                   sorted(zip(rsi[rof[i]:rof[i+1]].tolist(), rlo[rof[i]:rof[i+1]].tolist()))
+    assert eng.stats["batches"] >= 1 and eng.stats["queries"] > 0
