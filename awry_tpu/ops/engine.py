@@ -44,6 +44,28 @@ def _bucket(n: int, minimum: int = 16) -> int:
     return b
 
 
+def pack_wire(qsyms: np.ndarray, qlens: np.ndarray, crumb_lut: np.ndarray | None):
+    """[B, L] int8 symbol matrix -> the densest wire format it admits.
+
+    Crumb (2-bit, int8) when every IN-RANGE symbol is a dense encoding
+    symbol (pure A/C/G/T — the overwhelmingly common read shape); nibble
+    (4-bit, uint8) otherwise.  ``crumb_lut`` maps symbol index -> dense code
+    or -1 (alphabet.index_to_dense); pass None for non-packable alphabets
+    (cardinality > 16), which returns qsyms unchanged.  The wire dtype IS
+    the mode tag (int8 = crumb / raw, uint8 = nibble)."""
+    if crumb_lut is None:
+        return qsyms
+    dense = crumb_lut[qsyms]  # int8 [B, L], -1 = not dense
+    L = qsyms.shape[1]
+    in_range = np.arange(L, dtype=np.int32)[None, :] >= (L - qlens[:, None])
+    if ((dense >= 0) | ~in_range).all():
+        d = np.maximum(dense, 0).astype(np.uint8)
+        return (
+            d[:, 0::4] | (d[:, 1::4] << 2) | (d[:, 2::4] << 4) | (d[:, 3::4] << 6)
+        ).astype(np.uint8).view(np.int8)
+    return (qsyms[:, 0::2] | (qsyms[:, 1::2] << 4)).astype(np.uint8)
+
+
 def encode_query_batch(alphabet, queries, *, min_batch: int = 16, min_len: int = 8):
     """Shared host-side query encoding: list of str/bytes -> (np int32[B, L]
     RIGHT-ALIGNED, np int32[B]) with power-of-two-bucketed padded shapes.
@@ -319,22 +341,7 @@ class FmQueryEngine:
         qsyms, qlens = encode_query_batch(
             self.device_index.alphabet, queries, min_batch=max(16, self._data_shards)
         )
-        if self._wire_packed:
-            # Crumb (2-bit) wire when every IN-RANGE symbol is a dense
-            # encoding symbol (pure A/C/G/T; sentinels/ambiguity force the
-            # nibble wire - '$' encodes to 0, which only padding may hold).
-            dense = self._crumb_lut[qsyms]  # int8 [B, L], -1 = not dense
-            L = qsyms.shape[1]
-            in_range = np.arange(L, dtype=np.int32)[None, :] >= (L - qlens[:, None])
-            if ((dense >= 0) | ~in_range).all():
-                d = np.maximum(dense, 0).astype(np.uint8)
-                crumb = (
-                    d[:, 0::4] | (d[:, 1::4] << 2) | (d[:, 2::4] << 4) | (d[:, 3::4] << 6)
-                ).astype(np.uint8).view(np.int8)
-                return jnp.asarray(crumb), jnp.asarray(qlens)
-            packed = (qsyms[:, 0::2] | (qsyms[:, 1::2] << 4)).astype(np.uint8)
-            return jnp.asarray(packed), jnp.asarray(qlens)
-        return jnp.asarray(qsyms), jnp.asarray(qlens)
+        return jnp.asarray(pack_wire(qsyms, qlens, self._crumb_lut)), jnp.asarray(qlens)
 
     # -- public API --------------------------------------------------------
     def count_batch(self, queries) -> np.ndarray:

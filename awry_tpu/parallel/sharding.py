@@ -76,11 +76,44 @@ def sharded_symbol_at(local: FmDeviceIndex, pos: jax.Array) -> jax.Array:
 
 
 def _sharded_update_fn(local: FmDeviceIndex):
+    """LF-mapping range update with psum-merged ranks.
+
+    When the local shard carries a sweep layout (blocks_sweep, built
+    per-shard over the LOCAL block range) and the batch is dense enough,
+    both endpoints' ranks are served by the sorted-sweep kernel over the
+    local shard — the same engine that beat plain gathers 7.5x on one chip
+    (round-2 verdict task 5: Mode B gets the sweep) — then psum-merged.
+    Sparse batches and sweep-less indexes take the plain local gather."""
+
     def update(starts, ends, sym):
         c = local.prefix_sums[sym]
-        new_starts = c + sharded_occurrence(local, starts - jnp.uint32(1), sym)
-        new_ends = c + sharded_occurrence(local, ends, sym) - jnp.uint32(1)
-        return new_starts, new_ends
+        b = starts.shape[0]
+        pos = jnp.concatenate([starts - jnp.uint32(1), ends])
+        sym2 = jnp.concatenate([sym, sym])
+        nb_local = local.blocks.shape[0]
+        base = jax.lax.axis_index(SHARD_AXIS).astype(jnp.uint32) * jnp.uint32(
+            nb_local * 256
+        )
+        pos_local = pos - base
+        owned = (pos >= base) & (pos_local < jnp.uint32(nb_local * 256))
+        clamped = jnp.where(owned, pos_local, jnp.uint32(0))
+
+        from ..ops.rank import occurrence
+        from ..ops.sweep import _auto_interpret, occurrence_sweep, sweep_suits
+
+        if local.blocks_sweep is not None and sweep_suits(local, pos.shape[0]):
+            occ, cov = occurrence_sweep(
+                local, clamped, sym2, interpret=_auto_interpret()
+            )
+            occ = jax.lax.cond(
+                jnp.all(cov),
+                lambda: occ,
+                lambda: jnp.where(cov, occ, occurrence(local, clamped, sym2)),
+            )
+        else:
+            occ = occurrence(local, clamped, sym2)
+        occ = jax.lax.psum(jnp.where(owned, occ, jnp.uint32(0)), SHARD_AXIS)
+        return c + occ[:b], c + occ[b:] - jnp.uint32(1)
 
     return update
 
@@ -111,7 +144,15 @@ class ShardedFmEngine:
     flat path (same contract as ops.engine.FmQueryEngine).
     """
 
-    def __init__(self, index: FmIndexData, mesh=None, *, shard_size: int = 1, locate_cap: int = 8):
+    def __init__(
+        self,
+        index: FmIndexData,
+        mesh=None,
+        *,
+        shard_size: int = 1,
+        locate_cap: int = 8,
+        use_sweep: bool | None = None,
+    ):
         self.mesh = mesh if mesh is not None else make_mesh(shard_size=shard_size)
         self.num_shards = self.mesh.shape[SHARD_AXIS]
         self.data_size = self.mesh.shape[DATA_AXIS]
@@ -119,6 +160,14 @@ class ShardedFmEngine:
 
         replicated = NamedSharding(self.mesh, P())
         block_sharded = NamedSharding(self.mesh, P(SHARD_AXIS))
+
+        if use_sweep is None:
+            # Same regime heuristic as the single-chip engine, per shard.
+            use_sweep = (
+                index.has_marks
+                and index.planes.nbytes // max(1, self.num_shards) >= 8 * 1024 * 1024
+                and jax.default_backend() == "tpu"
+            )
 
         host = index
         if self.num_shards > 1:
@@ -141,24 +190,86 @@ class ShardedFmEngine:
             "prefix_sums", "sampled_sa", "text_sampled_sa", "kmer_table", "seq_starts",
             "index_to_code", "code_to_index", "index_to_dense",
         )}
-        placement["blocks"] = block_sharded if self.num_shards > 1 else replicated
+        sharded_or_repl = block_sharded if self.num_shards > 1 else replicated
+        placement["blocks"] = sharded_or_repl
+        # The slim search copy (occurrence's gather target) covers the same
+        # block range as `blocks` and must shard with it.
+        placement["blocks_search"] = sharded_or_repl
         self.device_index = to_device(host, sharding=placement)
+        if self.num_shards > 1 and use_sweep:
+            # Per-shard sorted-sweep layout of the LOCAL block range: each
+            # shard's sweep array is built independently from its fused
+            # slice (its internal tile padding never aliases a neighbour's
+            # blocks), then stacked so P(SHARD) hands shard i exactly its
+            # own layout.  Mode B rank steps are then served by the same
+            # sweep kernel as the single-chip hot path.
+            from ..ops.device_index import build_fused_blocks
+            from ..ops.sweep import build_sweep_blocks
+
+            fused = build_fused_blocks(host)
+            nb_loc = fused.shape[0] // self.num_shards
+            stack = np.concatenate(
+                [
+                    build_sweep_blocks(fused[i * nb_loc : (i + 1) * nb_loc])
+                    for i in range(self.num_shards)
+                ],
+                axis=0,
+            )
+            self.device_index = dataclasses.replace(
+                self.device_index,
+                blocks_sweep=jax.device_put(stack, block_sharded),
+            )
+        elif use_sweep:
+            from ..ops.device_index import build_fused_blocks
+            from ..ops.sweep import build_sweep_blocks
+
+            self.device_index = dataclasses.replace(
+                self.device_index,
+                blocks_sweep=jax.device_put(
+                    build_sweep_blocks(build_fused_blocks(host)), replicated
+                ),
+            )
         self.blocks_per_shard = self.device_index.blocks.shape[0] // self.num_shards
 
         index_specs = jax.tree.map(lambda _: P(), self.device_index)
+        shard_spec = P(SHARD_AXIS) if self.num_shards > 1 else P()
         index_specs = dataclasses.replace(
             index_specs,
-            blocks=P(SHARD_AXIS) if self.num_shards > 1 else P(),
+            blocks=shard_spec,
+            **(
+                {"blocks_search": shard_spec}
+                if self.device_index.blocks_search is not None
+                else {}
+            ),
+            **(
+                {"blocks_sweep": shard_spec}
+                if self.device_index.blocks_sweep is not None
+                else {}
+            ),
         )
         self._index_specs = index_specs
 
         num_shards = self.num_shards
 
-        # Same nibble wire format as the single-device engine.
+        # Same wire formats as the single-device engine: crumb (2-bit int8)
+        # for pure-dense batches, nibble (4-bit uint8) otherwise.
         self._wire_packed = self.alphabet.cardinality <= 16
+        if self._wire_packed:
+            from ..alphabet import index_to_dense_table
+
+            dense_lut = index_to_dense_table(self.alphabet)
+            self._crumb_lut = dense_lut
+            crumb_inv = np.flatnonzero(dense_lut >= 0).astype(np.int8)
+        else:
+            self._crumb_lut = crumb_inv = None
+        wire_packed = self._wire_packed
 
         def _unwire(qsyms):
-            if self._wire_packed:
+            if wire_packed and qsyms.dtype == jnp.int8:
+                from ..ops.search import unpack_crumbs
+
+                return unpack_crumbs(qsyms, crumb_inv)
+            if wire_packed:
                 from ..ops.search import unpack_nibbles
 
                 return unpack_nibbles(qsyms)
@@ -179,7 +290,9 @@ class ShardedFmEngine:
 
         def count_locate_fn(local_index, qsyms, qlens):
             """Fused ranges + counts + capped LF-walk in one sharded dispatch
-            (mirrors ops.locate.count_locate_capped with collective ranks)."""
+            (mirrors ops.locate.count_locate_capped with collective ranks).
+            Also returns the range starts so over-cap queries expand their
+            rows host-side and share ONE extra walk dispatch (no re-search)."""
             qsyms = _unwire(qsyms)
             update_fn = _sharded_update_fn(local_index) if num_shards > 1 else None
             backstep_fn = _sharded_backstep_fn(local_index) if num_shards > 1 else None
@@ -191,7 +304,7 @@ class ShardedFmEngine:
             valid = offs[None, :] < jnp.minimum(counts, jnp.uint32(cap))[:, None]
             flat = jnp.where(valid, rows, jnp.uint32(0)).reshape(-1)
             text_pos = lf_walk(local_index, flat, backstep_fn=backstep_fn)
-            return counts, text_pos.reshape(b, cap)
+            return counts, text_pos.reshape(b, cap), starts
 
         qspec = P(DATA_AXIS)
         self._count = jax.jit(
@@ -217,7 +330,7 @@ class ShardedFmEngine:
                 count_locate_fn,
                 mesh=self.mesh,
                 in_specs=(index_specs, P(DATA_AXIS, None), qspec),
-                out_specs=(qspec, P(DATA_AXIS, None)),
+                out_specs=(qspec, P(DATA_AXIS, None), qspec),
                 check_vma=False,
             )
         )
@@ -237,10 +350,10 @@ class ShardedFmEngine:
 
         pc = jax.process_count()
         if pc == 1:
+            from ..ops.engine import pack_wire
+
             qsyms, qlens = encode_query_batch(self.alphabet, queries, min_batch=self.data_size)
-            if self._wire_packed:
-                qsyms = (qsyms[:, 0::2] | (qsyms[:, 1::2] << 4)).astype(np.uint8)
-            return jnp.asarray(qsyms), jnp.asarray(qlens)
+            return jnp.asarray(pack_wire(qsyms, qlens, self._crumb_lut)), jnp.asarray(qlens)
 
         from .distributed import global_query_batch, process_local_queries
 
@@ -288,53 +401,58 @@ class ShardedFmEngine:
             return self._host_values(counts)[:n_local].astype(np.uint64)
         return np.asarray(counts)[: len(queries)].astype(np.uint64)
 
-    def locate_batch(self, queries) -> list[list[tuple[int, int]]]:
-        """Fused single-dispatch count+locate up to locate_cap hits/query;
-        overflow queries re-run through the unbounded flat path."""
+    def count_locate_arrays(self, queries):
+        """Bulk serving form (FmQueryEngine.count_locate_arrays contract):
+        (counts uint64[n], seq_idx int64[T], local int64[T], offsets
+        int64[n+1]) with hits of query i at [offsets[i], offsets[i+1]) in
+        BWT-row order.  One fused sharded dispatch; over-cap queries expand
+        their rows host-side (vectorized, no per-query Python) and share
+        ONE extra walk dispatch."""
+        n = len(queries)
         qsyms, qlens = self._encode(queries)
-        counts, text_pos = self._count_locate(self.device_index, qsyms, qlens)
-        counts = np.asarray(counts)[: len(queries)].astype(np.int64)
-        text_pos = np.asarray(text_pos)
-        seq_idx = np.searchsorted(self._seq_starts_host, text_pos, side="right") - 1
-        local = text_pos.astype(np.int64) - self._seq_starts_host[seq_idx]
+        counts_d, text_pos_d, starts_d = self._count_locate(self.device_index, qsyms, qlens)
+        counts = np.asarray(counts_d)[:n].astype(np.int64)
+        text_pos = np.asarray(text_pos_d)[:n]
         cap = self.locate_cap
-        overflow = [i for i in range(len(queries)) if counts[i] > cap]
-        overflow_results = (
-            dict(zip(overflow, self._locate_flat([queries[i] for i in overflow])))
-            if overflow
-            else {}
-        )
-        results: list[list[tuple[int, int]]] = []
-        for i in range(len(queries)):
-            if counts[i] > cap:
-                results.append(overflow_results[i])
-            else:
-                c = int(counts[i])
-                results.append(list(zip(seq_idx[i, :c].tolist(), local[i, :c].tolist())))
-        return results
 
-    def _locate_flat(self, queries) -> list[list[tuple[int, int]]]:
-        qsyms, qlens = self._encode(queries)
-        _, starts, ends = self._count(self.device_index, qsyms, qlens)
-        starts = np.asarray(starts)[: len(queries)].astype(np.int64)
-        ends = np.asarray(ends)[: len(queries)].astype(np.int64)
-        counts = np.maximum(ends - starts + 1, 0)
-        offsets = np.zeros(len(queries) + 1, dtype=np.int64)
+        offsets = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(counts, out=offsets[1:])
         total = int(offsets[-1])
-        if total == 0:
-            return [[] for _ in queries]
-        bucket = self.data_size
-        while bucket < total:
-            bucket *= 2
-        flat_rows = np.zeros(bucket, dtype=np.uint32)
-        within = np.arange(total, dtype=np.int64) - np.repeat(offsets[:-1], counts)
-        flat_rows[:total] = (np.repeat(starts, counts) + within).astype(np.uint32)
-        text_pos = np.asarray(self._walk(self.device_index, jnp.asarray(flat_rows)))[:total]
-        seq_idx = np.searchsorted(self._seq_starts_host, text_pos, side="right") - 1
-        local = text_pos.astype(np.int64) - self._seq_starts_host[seq_idx]
-        return [
-            list(zip(seq_idx[offsets[i] : offsets[i + 1]].tolist(),
-                     local[offsets[i] : offsets[i + 1]].tolist()))
-            for i in range(len(queries))
-        ]
+        flat_pos = np.empty(total, dtype=np.int64)
+
+        over = counts > cap
+        nov_counts = np.where(over, 0, counts)
+        valid = np.arange(cap, dtype=np.int64)[None, :] < nov_counts[:, None]
+        vals = text_pos[valid].astype(np.int64)
+        dst_start = np.repeat(offsets[:-1], nov_counts)
+        within = np.arange(vals.shape[0], dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(nov_counts)[:-1])), nov_counts
+        )
+        flat_pos[dst_start + within] = vals
+
+        if over.any():
+            o_starts = np.asarray(starts_d)[:n].astype(np.int64)[over]
+            o_counts = counts[over]
+            o_total = int(o_counts.sum())
+            bucket = self.data_size
+            while bucket < o_total:
+                bucket *= 2
+            rows = np.zeros(bucket, dtype=np.uint32)
+            o_cum = np.concatenate(([0], np.cumsum(o_counts)))
+            o_within = np.arange(o_total, dtype=np.int64) - np.repeat(o_cum[:-1], o_counts)
+            rows[:o_total] = (np.repeat(o_starts, o_counts) + o_within).astype(np.uint32)
+            walked = np.asarray(self._walk(self.device_index, jnp.asarray(rows)))[:o_total]
+            dst = np.repeat(offsets[:-1][over], o_counts) + o_within
+            flat_pos[dst] = walked.astype(np.int64)
+
+        seq_idx = np.searchsorted(self._seq_starts_host, flat_pos, side="right") - 1
+        local = flat_pos - self._seq_starts_host[seq_idx]
+        return counts.astype(np.uint64), seq_idx, local, offsets
+
+    def locate_batch(self, queries) -> list[list[tuple[int, int]]]:
+        """Fused single-dispatch count+locate; over-cap queries share one
+        extra walk dispatch (assembly fully vectorized, round-2 verdict
+        task 5)."""
+        counts, seq_idx, local, offsets = self.count_locate_arrays(queries)
+        pairs = list(zip(seq_idx.tolist(), local.tolist()))
+        return [pairs[offsets[i] : offsets[i + 1]] for i in range(len(queries))]

@@ -172,3 +172,47 @@ def test_mesh_engine_stream_and_stats(rng):
             assert sorted(zip(si[of[i]:of[i+1]].tolist(), lo[of[i]:of[i+1]].tolist())) == \
                    sorted(zip(rsi[rof[i]:rof[i+1]].tolist(), rlo[rof[i]:rof[i+1]].tolist()))
     assert eng.stats["batches"] >= 1 and eng.stats["queries"] > 0
+
+
+def test_mode_b_sweep_and_crumb_wire(rng):
+    """Mode B (range-sharded) with the per-shard sweep layout forced on:
+    counts/locates must match the host engine AND the sweep kernel must
+    trace (it now serves the psum-merged rank steps).  Queries are pure
+    ACGT, so the crumb (2-bit) wire is exercised through the sharded
+    unwire path."""
+    import awry_tpu.ops.sweep as sweep_mod
+
+    index, records = _build(Alphabet.NUCLEOTIDE, rng, n=140_000, kmer_len=5)
+    text = records[0][1]
+    before = sum(sweep_mod.TRACE_COUNTS.values())
+    engine = ShardedFmEngine(index, shard_size=4, use_sweep=True)
+    starts = rng.integers(0, len(text) - 22, size=4092)
+    queries = [text[s : s + 22] for s in starts] + [b"ACGTACGT", b"AC", text[3:7] * 5, b""]
+    enc, _ = engine._encode(queries)
+    assert enc.dtype == np.int8  # crumb wire engaged
+
+    got = engine.count_batch(queries)
+    expected = np.array([he.count(index, q) for q in queries], dtype=np.uint64)
+    np.testing.assert_array_equal(got, expected)
+
+    sample = queries[:40] + queries[-4:]
+    locs = engine.locate_batch(sample)
+    for q, got_l in zip(sample, locs):
+        assert sorted(got_l) == sorted(he.locate(index, q)), q
+    assert sum(sweep_mod.TRACE_COUNTS.values()) > before, (
+        "Mode B rank steps never traced the sweep kernel"
+    )
+
+
+def test_mode_b_count_locate_arrays_overflow(rng):
+    """Vectorized ragged assembly incl. the shared over-cap walk dispatch."""
+    index, records = _build(Alphabet.NUCLEOTIDE, rng, n=3000, kmer_len=3)
+    text = records[0][1]
+    engine = ShardedFmEngine(index, shard_size=2, locate_cap=2)
+    queries = [text[i : i + 3] for i in range(0, 40, 5)]  # 3-mers: far over cap
+    queries += [text[10:40], b"ACGTACGTACGT"]
+    counts, seq_idx, local, offsets = engine.count_locate_arrays(queries)
+    for i, q in enumerate(queries):
+        hits = sorted(zip(seq_idx[offsets[i]:offsets[i+1]].tolist(), local[offsets[i]:offsets[i+1]].tolist()))
+        assert hits == sorted(he.locate(index, q)), q
+        assert int(counts[i]) == he.count(index, q)
