@@ -11,9 +11,13 @@ vectorized host engine.
 from __future__ import annotations
 
 import hashlib
+import logging
 import os
+import time
 
 import numpy as np
+
+_log = logging.getLogger("awry_tpu.build")
 
 from ..alphabet import Alphabet, encode_ascii, index_to_code_table
 from ..host_engine import populate_kmer_table
@@ -104,29 +108,47 @@ def _sa_cache_digest(sa_path: str) -> str | None:
 def build_from_sequence_data(seq_data: SequenceData, args: FmBuildArgs) -> FmIndexData:
     """Assemble the full FM-index from canonical concatenated text."""
     alphabet = args.alphabet
+
+    t_phase = time.perf_counter()
+
+    def phase(name: str) -> None:
+        # Build observability: genome-scale builds run for minutes; phase
+        # timings make a slow/stuck build diagnosable (INFO level, off by
+        # default).
+        nonlocal t_phase
+        now = time.perf_counter()
+        _log.info("build phase %-18s %.1fs", name, now - t_phase)
+        t_phase = now
+
     # Reuse / persist the intermediate suffix array like the reference's
     # .sufr round trip (src/fm_index.rs:170-181, :263-265).
     sa = None
     sa_path = args.suffix_array_output_src
     text_digest = hashlib.sha256(seq_data.text.tobytes()).hexdigest()
+    phase("text digest")
     if sa_path and os.path.exists(sa_path):
         cached = np.load(sa_path)
         # A same-length SA from a different text would silently corrupt the
         # index; reuse only when the sidecar fingerprint matches this text.
         if cached.shape[0] == seq_data.text.shape[0] + 1 and _sa_cache_digest(sa_path) == text_digest:
             sa = cached
+            phase("SA cache load")
     if sa is None:
         sa = build_suffix_array(seq_data.text)
+        phase("SA-IS")
         if sa_path:
             np.save(sa_path, sa)
             with open(sa_path + ".sha256", "w") as f:
                 f.write(text_digest)
+            phase("SA cache save")
     bwt_len = sa.shape[0]  # text_len + 1 (src/fm_index.rs:50,182)
     text_syms = encode_ascii(alphabet, seq_data.text)  # uint8
     bwt_syms = bwt_symbols_from_sa(text_syms, sa)
+    phase("BWT gather")
 
     planes = pack_bit_planes(bwt_syms, alphabet)
     milestones, prefix_sums = compute_milestones(bwt_syms, alphabet)
+    phase("planes+milestones")
 
     sa_ratio = args.resolved_sa_ratio()
     sampled_sa = sa[::sa_ratio].astype(np.uint64)  # sampling by BWT row (csa.rs:109-111)
@@ -146,6 +168,7 @@ def build_from_sequence_data(seq_data: SequenceData, args: FmBuildArgs) -> FmInd
         text_sampled_sa = sa.astype(np.uint64)
     else:
         text_sampled_sa = sa[marked[: sa.shape[0]].astype(bool)].astype(np.uint64)
+    phase("marks")
 
     # Packed text for the seed-walk-verify serving path (ops/verify.py):
     # symbol indices at 4 (nucleotide) or 8 (amino) bits, little-endian
@@ -158,6 +181,7 @@ def build_from_sequence_data(seq_data: SequenceData, args: FmBuildArgs) -> FmInd
     text_packed = np.zeros(n_words, dtype=np.uint32)
     for j in range(spw):
         text_packed |= padded_syms[j::spw] << np.uint32(bits * j)
+    phase("text pack")
 
     kmer_len = args.resolved_kmer_len()
     base = alphabet.num_encoding_symbols
@@ -190,7 +214,9 @@ def build_from_sequence_data(seq_data: SequenceData, args: FmBuildArgs) -> FmInd
         )
     else:
         index.kmer_table = populate_kmer_table(index)
+    phase("kmer table")
     index.validate()
+    phase("validate")
     if sa_path and args.remove_intermediate_suffix_array_file and os.path.exists(sa_path):
         os.remove(sa_path)
         if os.path.exists(sa_path + ".sha256"):

@@ -309,6 +309,119 @@ class PartitionedFmIndex:
                 results[qi].append((r, lp))
         return results
 
+    def count_locate_arrays(self, queries, *, cap: int = 2):
+        """Bulk federation serving (FmQueryEngine.count_locate_arrays
+        contract): (counts uint64[n], seq_idx int64[T], local int64[T],
+        offsets int64[n+1]).  Each partition's fused count+locate dispatch
+        yields its owned hits; they are merged VECTORIZED (one stable argsort
+        over query ids), so no per-query Python at pan-genome batch sizes.
+
+        Hit order: partition-major, BWT-row order within a partition (a
+        federation has no global BWT; callers needing the reference's order
+        sort per query, as the reference's own tests do,
+        src/fm_index.rs:649-651)."""
+        qbytes = self._check(queries)
+        nq = len(qbytes)
+        qidx_parts, rec_parts, loc_parts = [], [], []
+        for part in self.partitions:
+            engine = self._part_engine(part)
+            if engine:
+                _, _, local, offsets = engine.count_locate_arrays(qbytes, cap=cap)
+                qidx = np.repeat(np.arange(nq, dtype=np.int64), np.diff(offsets))
+            else:
+                hits = he.locate_batch(part.index, qbytes)
+                local = np.array(
+                    [p for per_query in hits for _, p in per_query], dtype=np.int64
+                )
+                qidx = np.array(
+                    [qi for qi, per_query in enumerate(hits) for _ in per_query],
+                    dtype=np.int64,
+                )
+            keep = local < part.owned_len
+            gpos = part.global_start + local[keep]
+            rec = np.searchsorted(self.seq_starts, gpos, side="right") - 1
+            qidx_parts.append(qidx[keep])
+            rec_parts.append(rec)
+            loc_parts.append(gpos - self.seq_starts[rec])
+        qidx = np.concatenate(qidx_parts) if qidx_parts else np.zeros(0, dtype=np.int64)
+        rec = np.concatenate(rec_parts) if rec_parts else np.zeros(0, dtype=np.int64)
+        loc = np.concatenate(loc_parts) if loc_parts else np.zeros(0, dtype=np.int64)
+        order = np.argsort(qidx, kind="stable")
+        counts = np.bincount(qidx, minlength=nq).astype(np.int64)
+        offsets = np.zeros(nq + 1, dtype=np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        return counts.astype(np.uint64), rec[order], loc[order], offsets
+
+    # -- persistence ---------------------------------------------------------
+    def save(self, directory: str) -> None:
+        """Persist the federation: one artifact per partition plus a meta
+        sidecar (the A4 checkpoint scheme extended to partitioned indexes;
+        partitions are independently relocatable to their serving hosts)."""
+        import json
+        import os
+
+        from ..io.artifact import save_artifact
+
+        os.makedirs(directory, exist_ok=True)
+        meta = {
+            "version": 1,
+            "alphabet": self.alphabet.name,
+            "max_query_len": self.max_query_len,
+            "headers": self.headers,
+            "partitions": [
+                {
+                    "global_start": int(p.global_start),
+                    "owned_len": int(p.owned_len),
+                    "has_tail": p.tail_syms is not None,
+                }
+                for p in self.partitions
+            ],
+        }
+        with open(os.path.join(directory, "meta.json"), "w") as f:
+            json.dump(meta, f)
+        np.savez(
+            os.path.join(directory, "globals.npz"),
+            seq_starts=self.seq_starts,
+            **{
+                f"tail_{i}": p.tail_syms
+                for i, p in enumerate(self.partitions)
+                if p.tail_syms is not None
+            },
+        )
+        for i, p in enumerate(self.partitions):
+            save_artifact(p.index, os.path.join(directory, f"part_{i}.npz"), compress=False)
+
+    @classmethod
+    def load(cls, directory: str):
+        import json
+        import os
+
+        from ..io.artifact import load_artifact
+
+        with open(os.path.join(directory, "meta.json")) as f:
+            meta = json.load(f)
+        if meta.get("version") != 1:
+            raise ValueError(f"unsupported partitioned-index version {meta.get('version')}")
+        globs = np.load(os.path.join(directory, "globals.npz"))
+        partitions = []
+        for i, pm in enumerate(meta["partitions"]):
+            index = load_artifact(os.path.join(directory, f"part_{i}.npz"))
+            partitions.append(
+                _Partition(
+                    index=index,
+                    tail_syms=globs[f"tail_{i}"] if pm["has_tail"] else None,
+                    global_start=pm["global_start"],
+                    owned_len=pm["owned_len"],
+                )
+            )
+        return cls(
+            partitions,
+            globs["seq_starts"].astype(np.int64),
+            list(meta["headers"]),
+            Alphabet[meta["alphabet"]],
+            meta["max_query_len"],
+        )
+
     def count(self, query) -> int:
         return int(self.count_batch([query])[0])
 

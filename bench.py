@@ -81,6 +81,16 @@ CONFIGS = [
     # read stays a plain element gather: a 3.1 GB sa_sweep copy would not
     # fit HBM.)
     dict(name="grch38_3.1Gbp_dna", kind="dna", n=3_100_000_000, nq=524_288, qlen=100, k=13, mark=4),
+    # Pan-genome (BASELINE.json config #5): >10 Gbp federated across 4
+    # partitions (PartitionedFmIndex, exact overlap-tail semantics), all
+    # four served from ONE chip here (deployments place partitions on their
+    # own hosts/chips; the per-chip number below therefore divides by the
+    # partition count relative to a one-partition-per-chip layout).
+    # Runs LAST and only from cached partitions under a driver deadline —
+    # the ~45-min federation build needs AWRY_BENCH_BUILD_PANGENOME=1.
+    dict(name="pangenome_10.3Gbp_federated", kind="pangenome", n=10_320_000_000,
+         records=40, nq=524_288, qlen=30, k=11, mark=32, max_query_len=32,
+         partition_cap=2_600_000_000),
 ]
 
 NUM_BATCHES = 4
@@ -213,6 +223,10 @@ def build_or_load(cfg, seq: bytes):
                 f"{index.kmer_len}/{index.resolved_mark_ratio}/"
                 f"{index.text_packed is not None} != {cfg['k']}/{cfg['mark']}/True; rebuilding")
     alphabet = Alphabet.NUCLEOTIDE if cfg["kind"].startswith("dna") else Alphabet.AMINO
+    import logging
+
+    logging.basicConfig(stream=sys.stderr)
+    logging.getLogger("awry_tpu.build").setLevel(logging.INFO)
     t0 = time.perf_counter()
     index = build_from_records(
         [(cfg["name"], seq)],
@@ -222,6 +236,10 @@ def build_or_load(cfg, seq: bytes):
             lookup_table_kmer_len=cfg["k"],
             build_kmer_table_on_device=cfg["k"] >= 12,
             locate_mark_ratio=cfg["mark"],
+            # SA sidecar: a build interrupted after SA-IS (driver timeout,
+            # OOM in a later phase) resumes without redoing the ~10-min sort.
+            suffix_array_output_src=cache + ".sa.npy",
+            remove_intermediate_suffix_array_file=True,
         ),
     )
     build_s = time.perf_counter() - t0
@@ -230,6 +248,142 @@ def build_or_load(cfg, seq: bytes):
     with open(digest_file, "w") as f:
         f.write(digest)
     return index, build_s
+
+
+def _pangenome_record(cfg, i: int) -> bytes:
+    """Record i of the pan-genome corpus, independently regenerable (the
+    10 GB corpus is never rebuilt just to draw queries: each record has its
+    own deterministic stream)."""
+    import zlib
+
+    rng = np.random.default_rng([0, zlib.crc32(cfg["name"].encode()), i])
+    n_rec = cfg["n"] // cfg["records"]
+    return bytes(rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=n_rec))
+
+
+def _pangenome_params_digest(cfg) -> str:
+    import hashlib
+
+    key = json.dumps({k: cfg[k] for k in sorted(cfg)}, sort_keys=True) + "|corpus-v1"
+    return hashlib.blake2b(key.encode(), digest_size=16).hexdigest()
+
+
+def run_pangenome(cfg, deadline: float | None):
+    """Config #5: federated count+locate over a >10 Gbp corpus on one chip."""
+    import time as _time
+
+    from awry_tpu import Alphabet, FmBuildArgs
+    from awry_tpu.ops.engine import FmQueryEngine
+    from awry_tpu.parallel.partitioned import PartitionedFmIndex
+
+    cache_dir = os.path.join(CACHE_DIR, cfg["name"])
+    digest_file = os.path.join(cache_dir, "params.digest")
+    digest = _pangenome_params_digest(cfg)
+    cached = (
+        os.path.isdir(cache_dir)
+        and os.path.exists(digest_file)
+        and open(digest_file).read().strip() == digest
+    )
+    build_s = None
+    if not cached:
+        if os.environ.get("AWRY_BENCH_BUILD_PANGENOME") != "1":
+            return {
+                "config": cfg["name"],
+                "skipped": "no cached federation; set AWRY_BENCH_BUILD_PANGENOME=1 "
+                           "to build (~45 min, 4x 2.6 Gbp partitions)",
+            }
+        log(f"[{cfg['name']}] building {cfg['n']/1e9:.1f} Gbp federation "
+            f"({cfg['records']} records, cap {cfg['partition_cap']/1e9:.2f} Gbp)")
+        t0 = _time.perf_counter()
+        records = [(f"rec_{i}", _pangenome_record(cfg, i)) for i in range(cfg["records"])]
+        pfm = PartitionedFmIndex.build_from_records(
+            records,
+            FmBuildArgs(
+                alphabet=Alphabet.NUCLEOTIDE,
+                suffix_array_compression_ratio=SA_RATIO,
+                lookup_table_kmer_len=cfg["k"],
+                locate_mark_ratio=cfg["mark"],
+            ),
+            max_partition_symbols=cfg["partition_cap"],
+            max_query_len=cfg["max_query_len"],
+            num_workers=int(os.environ.get("AWRY_PANGENOME_WORKERS", "2")),
+        )
+        del records
+        pfm.save(cache_dir)
+        with open(digest_file, "w") as f:
+            f.write(digest)
+        build_s = _time.perf_counter() - t0
+        log(f"[{cfg['name']}] built + saved in {build_s:.0f}s")
+    else:
+        if deadline is not None and time.perf_counter() > deadline:
+            return {
+                "config": cfg["name"],
+                "skipped": "driver deadline reached before the pan-genome config",
+            }
+        t0 = _time.perf_counter()
+        pfm = PartitionedFmIndex.load(cache_dir)
+        log(f"[{cfg['name']}] loaded {len(pfm.partitions)}-partition federation "
+            f"in {_time.perf_counter()-t0:.0f}s")
+
+    # Attach single-copy engines (no sweep doubling: 4 partitions must
+    # share one chip's HBM here; per-host deployments would enable it).
+    for part in pfm.partitions:
+        part.engine = FmQueryEngine(part.index, use_sweep=False)
+
+    rng = config_rng(cfg)
+    src_recs = {int(i): _pangenome_record(cfg, int(i)) for i in rng.integers(0, cfg["records"], size=4)}
+    n_rec = cfg["n"] // cfg["records"]
+    batches = []
+    for _ in range(2):
+        recs = rng.choice(np.asarray(sorted(src_recs)), size=cfg["nq"])
+        offs = rng.integers(0, n_rec - cfg["qlen"], size=cfg["nq"])
+        batches.append(([src_recs[int(r)][o : o + cfg["qlen"]] for r, o in zip(recs, offs)],
+                        recs, offs))
+
+    # Warmup + oracle gate on batch 0.
+    queries0, recs0, offs0 = batches[0]
+    counts, rec_idx, loc, offsets = pfm.count_locate_arrays(queries0, cap=LOCATE_CAP)
+    assert (counts >= 1).all(), "drawn pan-genome query not found: correctness bug"
+    gstart = {r: int(pfm.seq_starts[r]) for r in src_recs}
+    for i in rng.integers(0, cfg["nq"], size=32):
+        span = slice(offsets[i], offsets[i + 1])
+        pairs = list(zip(rec_idx[span].tolist(), loc[span].tolist()))
+        assert (int(recs0[i]), int(offs0[i])) in pairs, i
+        for r, p in pairs:
+            if r in src_recs:
+                assert src_recs[r][p : p + cfg["qlen"]] == queries0[i], (i, r, p)
+
+    best_qps = 0.0
+    for trial in range(TRIALS):
+        t0 = time.perf_counter()
+        for queries, _, _ in batches:
+            pfm.count_locate_arrays(queries, cap=LOCATE_CAP)
+        dt = time.perf_counter() - t0
+        qps = len(batches) * cfg["nq"] / dt
+        best_qps = max(best_qps, qps)
+        log(f"[{cfg['name']}] trial {trial}: {qps:,.0f} q/s sustained "
+            f"({len(pfm.partitions)} partitions on one chip)")
+
+    result = {
+        "config": cfg["name"],
+        "queries_per_sec": round(best_qps, 1),
+        "partitions": len(pfm.partitions),
+        "total_gbp": round(cfg["n"] / 1e9, 2),
+        "num_queries": cfg["nq"],
+        "query_len": cfg["qlen"],
+        "kmer_len": cfg["k"],
+        "locate_cap": LOCATE_CAP,
+        "api": "PartitionedFmIndex.count_locate_arrays",
+        "note": "4 partitions federated on ONE chip; per-host deployments serve "
+                "one partition per chip (multiply by partition count)",
+        "oracle": "counts>=1 on 1M drawn queries batch + 32 position spot-checks",
+    }
+    if build_s is not None:
+        result["build_seconds"] = round(build_s, 1)
+    for part in pfm.partitions:
+        if part.engine:
+            part.engine.release()
+    return result
 
 
 def run_config(cfg):
@@ -332,11 +486,19 @@ def main() -> None:
 
     results = []
     _checkpoint(results)  # a valid (empty-headline) payload exists from t=0
+    t_start = time.perf_counter()
+    # The pan-genome config only STARTS if enough driver budget remains
+    # (loading + uploading a 13 GB federation through the relay takes
+    # minutes; a timeout mid-config wastes what a skip would have kept).
+    pan_deadline = t_start + float(os.environ.get("AWRY_BENCH_PAN_DEADLINE_S", "2100"))
     for cfg in CONFIGS:
         if only and cfg["name"] not in only:
             continue
         try:
-            results.append(run_config(cfg))
+            if cfg["kind"] == "pangenome":
+                results.append(run_pangenome(cfg, None if only else pan_deadline))
+            else:
+                results.append(run_config(cfg))
         except Exception as e:  # noqa: BLE001
             log(f"[{cfg['name']}] FAILED: {type(e).__name__}: {e}")
             results.append({"config": cfg["name"], "error": f"{type(e).__name__}: {e}"})

@@ -154,3 +154,47 @@ def test_partitioned_parallel_build_matches_serial(rng):
         serial.count_batch(queries, use_device=False),
         parallel.count_batch(queries, use_device=False),
     )
+
+
+def test_partitioned_save_load_round_trip(rng, tmp_path):
+    """Federation checkpoint: save -> load must serve identical results."""
+    from awry_tpu.parallel.partitioned import PartitionedFmIndex
+
+    records = [(f"r{i}", random_seq(Alphabet.NUCLEOTIDE, rng, int(rng.integers(150, 400))))
+               for i in range(6)]
+    args = FmBuildArgs(alphabet=Alphabet.NUCLEOTIDE, lookup_table_kmer_len=3)
+    pfm = PartitionedFmIndex.build_from_records(
+        records, args, max_partition_symbols=500, max_query_len=24
+    )
+    d = str(tmp_path / "pangenome_idx")
+    pfm.save(d)
+    loaded = PartitionedFmIndex.load(d)
+    assert len(loaded.partitions) == len(pfm.partitions)
+    queries = [records[i % 6][1][j : j + 12] for i, j in enumerate(range(0, 60, 5))]
+    np.testing.assert_array_equal(loaded.count_batch(queries), pfm.count_batch(queries))
+    a = loaded.locate_batch(queries)
+    b = pfm.locate_batch(queries)
+    assert [sorted(x) for x in a] == [sorted(y) for y in b]
+
+
+def test_partitioned_count_locate_arrays(rng):
+    """Vectorized federation bulk serving equals the per-query API and the
+    monolithic host engine."""
+    from awry_tpu import build_from_records
+    from awry_tpu import host_engine as he
+    from awry_tpu.parallel.partitioned import PartitionedFmIndex
+
+    records = [(f"r{i}", random_seq(Alphabet.NUCLEOTIDE, rng, int(rng.integers(100, 500))))
+               for i in range(8)]
+    args = FmBuildArgs(alphabet=Alphabet.NUCLEOTIDE, lookup_table_kmer_len=3)
+    pfm = PartitionedFmIndex.build_from_records(
+        records, args, max_partition_symbols=600, max_query_len=20
+    )
+    mono = build_from_records(records, args)
+    queries = [records[i % 8][1][j : j + 9] for i, j in enumerate(range(0, 80, 4))]
+    queries += [b"ACG", b"", b"GGGGGGGGGGGGGGGGGGG"]
+    counts, rec, loc, offsets = pfm.count_locate_arrays(queries, cap=2)
+    for i, q in enumerate(queries):
+        assert int(counts[i]) == he.count(mono, q), q
+        got = sorted(zip(rec[offsets[i]:offsets[i+1]].tolist(), loc[offsets[i]:offsets[i+1]].tolist()))
+        assert got == sorted(he.locate(mono, q)), q
