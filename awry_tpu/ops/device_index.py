@@ -58,7 +58,7 @@ def mark_words_offset(alphabet: Alphabet) -> int:
     "text_sweep", "text_rows8", "marked_sa8", "verify_windows", "blocks_search",
     "kmer_sweep", "sa_sweep", "vw_sweep", "kmer_flat", "vw_flat",
 ], meta_fields=["alphabet", "sa_ratio", "bwt_len", "kmer_len", "has_marks", "mark_ratio",
-                "verify_windows_s", "verify_windows_w"])
+                "verify_windows_s", "verify_windows_w", "vw_row_words"])
 @dataclasses.dataclass(frozen=True)
 class FmDeviceIndex:
     """jnp mirror of FmIndexData plus the small codec LUTs the kernels need.
@@ -127,6 +127,10 @@ class FmDeviceIndex:
     verify_windows: jax.Array | None = None
     verify_windows_s: int = 0  # the switch step the windows were aligned for
     verify_windows_w: int = 0  # window words per row (word index of p)
+    # uint32 words per fat row: 8 classic (5 windows + SA + pad), 4 SLIM
+    # (3 windows + SA; the slot-verify regime's rows — half the HBM/sweep
+    # traffic when the post-seed query tail fits 3 words).
+    vw_row_words: int = 8
     # Mark-free copy of the fused rows for SEARCH gathers (planes +
     # milestones only, padded to 32/64 words): rank steps never read mark
     # words, and a nucleotide step moves 20% fewer bytes through the
@@ -177,23 +181,55 @@ _VERIFY_WINDOW_WORDS = 5  # window words per fat row (see verify_windows)
 # block payload is VMEM-ish (E. coli: 4.6M) with headroom.
 VMEM_REGIME_MAX_ROWS = 16 * 1024 * 1024
 
+# Slot-verify regime (ops/verify.py count_locate_slots_t): when the k-mer
+# seed already narrows the expected range width to ~1, every lane's <=
+# WIDE_CAP candidate rows are verified straight off fat rows — zero
+# post-seed rank sweeps.  Capable when marks are dense (mark=1: the fat row
+# carries the SA value), the expected seed width bwt_len / base^k is small
+# enough that few lanes exceed WIDE_CAP candidates, and the SLIM 16 B/row
+# fat table fits HBM (chr1's 250M rows -> 4 GB).
+SLOT_REGIME_MAX_ROWS = 1 << 28
+SLOT_WIDTH_MAX = 1.6
 
-def _build_verify_windows(index: FmIndexData, inv_sa: np.ndarray):
-    """Assemble FmDeviceIndex.verify_windows: [bwt_len, 8] uint32 fat rows
-    (W pre-aligned window words + the row's SA value; see the field doc).
+
+def slot_regime_capable(index: FmIndexData) -> bool:
+    base = index.alphabet.num_encoding_symbols
+    return (
+        index.resolved_mark_ratio == 1
+        and index.has_marks
+        and index.text_packed is not None
+        and index.kmer_len >= 2
+        and index.bwt_len <= SLOT_REGIME_MAX_ROWS
+        and index.bwt_len <= SLOT_WIDTH_MAX * base**index.kmer_len
+    )
+
+
+def _build_verify_windows(
+    index: FmIndexData, inv_sa: np.ndarray, *, s: int | None = None, row_words: int = 8
+):
+    """Assemble FmDeviceIndex.verify_windows: [bwt_len, row_words] uint32 fat
+    rows (row_words-1 pre-aligned window words + the row's SA value; see the
+    field doc).
 
     inv_sa: uint32[bwt_len], SA value per BWT row (text_sampled_sa at
     mark_ratio 1).  Alignment happens HERE, once per index: runtime then
     needs no funnel shifts - the symbol at query-end distance d sits at a
     static bit position of word (d - s) // spw.
+
+    ``s``: the handover step the windows are aligned for (defaults to
+    switch_step; the slot-verify regime passes kmer_len).  ``row_words``:
+    8 for the classic fat row (5 window words), 4 for the SLIM row (3
+    window words + SA) — half the HBM and sweep traffic when the remaining
+    query tail fits 3 words (slot regime, 30 bp reads).
     """
     from .verify import switch_step
 
     card = index.alphabet.cardinality
     bits = 4 if card <= 16 else 8
     spw = 32 // bits
-    s = switch_step(index)
-    w = _VERIFY_WINDOW_WORDS
+    if s is None:
+        s = switch_step(index)
+    w = _VERIFY_WINDOW_WORDS if row_words == 8 else row_words - 1
     n_rows = inv_sa.shape[0]
 
     # Unpack the 4/8-bit packed text to one symbol per byte (little-endian
@@ -211,7 +247,7 @@ def _build_verify_windows(index: FmIndexData, inv_sa: np.ndarray):
     syms = syms[:n_text]
 
     e = inv_sa.astype(np.int64) + (s - 1)
-    fat = np.zeros((n_rows, 8), dtype=np.uint32)
+    fat = np.zeros((n_rows, row_words), dtype=np.uint32)
     for i in range(w):
         acc = np.zeros(n_rows, dtype=np.uint32)
         for t in range(spw):
@@ -368,6 +404,26 @@ def to_device(
             sa_sweep_arr = put("sa_sweep", sweep8(text_sampled.astype(np.uint32)))
     marked_sa8_arr = None
     vw_arr, vw_s, vw_w = None, 0, 0
+    vw_row_words = 8
+    if build_sweep and slot_regime_capable(index):
+        # HBM slot-verify regime: SLIM 4-word fat rows (3 window words +
+        # SA) aligned at s = kmer_len, shipped ONLY as the sweep layout —
+        # no plain copy, no flat fixup copy (window_sweep_cov flags
+        # uncovered lanes for classic re-dispatch instead).  16 B/row:
+        # chr1's 250M rows cost 4 GB instead of the classic 3 x 32 B.
+        flat = text_sampled.astype(np.uint32)
+        vw, vw_s, vw_w = _build_verify_windows(
+            index, flat, s=index.kmer_len, row_words=4
+        )
+        vw_row_words = 4
+        from .sweep import build_sweep_blocks as _bsb
+
+        vflat = vw.reshape(-1)
+        n8 = -(-vflat.shape[0] // 8)
+        rows8 = np.zeros((n8, 8), dtype=np.uint32)
+        rows8.reshape(-1)[: vflat.shape[0]] = vflat
+        vw_sweep_arr = put("vw_sweep", _bsb(rows8))
+        del vw, vflat, rows8
     if (
         index.resolved_mark_ratio == 1
         and index.has_marks
@@ -384,6 +440,11 @@ def to_device(
         sa8.reshape(-1)[: flat.shape[0]] = flat
         marked_sa8_arr = put("marked_sa8", sa8)
         if index.text_packed is not None:
+            # VMEM-regime windows stay aligned at the classic switch step:
+            # rank steps are cheap here (VMEM-resident lane-major rank), so
+            # the slot path's extra per-candidate fat fetches LOSE (measured
+            # 8.8M -> 6.3M q/s on E. coli).  The slot regime is an
+            # HBM-regime trade (build_sweep branch above).
             vw, vw_s, vw_w = _build_verify_windows(index, flat)
             vw_arr = put("verify_windows", vw)
             from .sweep import build_sweep_blocks
@@ -408,6 +469,7 @@ def to_device(
         verify_windows=vw_arr,
         verify_windows_s=vw_s,
         verify_windows_w=vw_w,
+        vw_row_words=vw_row_words,
         blocks_search=blocks_search_arr,
         kmer_sweep=kmer_sweep_arr,
         sa_sweep=sa_sweep_arr,
@@ -427,7 +489,14 @@ def to_device(
         prefix_sums=put("prefix_sums", index.prefix_sums.astype(np.uint32)),
         sampled_sa=put("sampled_sa", index.sampled_sa.astype(np.uint32)),
         text_sampled_sa=put("text_sampled_sa", text_sampled.astype(np.uint32)),
-        kmer_table=put("kmer_table", index.kmer_table.astype(np.uint32)),
+        kmer_table=(
+            # kmer_flat IS the same data: ship a placeholder instead of a
+            # third copy (2.1 GB at k=14); the seed's sparse-batch fallback
+            # reads the flat words (ops/search.py).
+            put("kmer_table", np.zeros((1, 2), dtype=np.uint32))
+            if kmer_flat_arr is not None
+            else put("kmer_table", index.kmer_table.astype(np.uint32))
+        ),
         seq_starts=put("seq_starts", index.seq_starts.astype(np.uint32)),
         index_to_code=put("index_to_code", index_to_code_table(index.alphabet).astype(np.uint32)),
         code_to_index=put("code_to_index", code_to_index_table(index.alphabet).astype(np.int32)),

@@ -303,17 +303,38 @@ class FmQueryEngine:
             use_verify and dev.text_packed is not None and dev.has_marks
         )
         if self._verify_enabled:
-            from .verify import TEXT_PAD_WORDS, count_locate_verify_t, switch_step
+            from .verify import (
+                TEXT_PAD_WORDS,
+                count_locate_slots_t,
+                count_locate_verify_t,
+                switch_step,
+            )
 
-            self._verify_s = switch_step(dev)
+            spw = 8 if dev.alphabet.cardinality <= 16 else 4
+            # Slot-verify mode (count_locate_slots_t): the index was built
+            # with fat rows aligned at the SEED step (slot_regime_capable) —
+            # the search stops at the seed and every candidate row verifies
+            # directly, deleting all post-seed rank sweeps.
+            self._verify_slots = (
+                dev.kmer_len >= 2
+                and dev.verify_windows_s == dev.kmer_len
+                and (dev.vw_sweep is not None or dev.verify_windows is not None)
+            )
+            if self._verify_slots:
+                self._verify_s = dev.kmer_len
+                self._verify_kernel_t = count_locate_slots_t
+                # The slot compare reads only the fat window words.
+                self._verify_max_len = dev.kmer_len + spw * dev.verify_windows_w
+            else:
+                self._verify_s = switch_step(dev)
+                self._verify_kernel_t = count_locate_verify_t
+                # Longest padded query the backward text-window gather covers;
+                # longer batches fall back to the classic path per dispatch.
+                self._verify_max_len = TEXT_PAD_WORDS * spw
             self._verify_fn = self._jit_kernel(
-                wrap(count_locate_verify_t), (dp, dp, dp) if mesh is not None else None,
+                wrap(self._verify_kernel_t), (dp, dp, dp) if mesh is not None else None,
                 static=("s",),
             )
-            # Longest padded query the backward text-window gather covers;
-            # longer batches fall back to the classic path per dispatch.
-            spw = 8 if dev.alphabet.cardinality <= 16 else 4
-            self._verify_max_len = TEXT_PAD_WORDS * spw
 
     def _use_verify_for(self, qsyms) -> bool:
         """Verify path applies to this wire batch (padded length within the
@@ -756,7 +777,8 @@ class FmQueryEngine:
         Returns the best trial's queries/sec.
         """
         from .locate import count_locate_capped_t
-        from .verify import count_locate_verify_t
+
+        count_locate_verify_t = getattr(self, "_verify_kernel_t", None)
 
         def _reduce(outs):
             return jnp.stack(

@@ -195,6 +195,11 @@ def search_ranges_t(
                 interpret=_auto_interpret(),
             )
             seed_start, seed_end = pair[:, 1], pair[:, 0]
+        elif index.kmer_flat is not None:
+            # The table ships ONLY flat alongside its sweep layout (no third
+            # copy in HBM); sparse batches read the two words directly.
+            seed_start = index.kmer_flat[addr << 1]
+            seed_end = index.kmer_flat[(addr << 1) | 1]
         else:
             seeded = index.kmer_table[addr]  # [B, 2] gather, once per batch
             seed_start, seed_end = seeded[:, 0], seeded[:, 1]

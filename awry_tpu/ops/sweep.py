@@ -682,11 +682,66 @@ def window_sweep(sweep_arr, flat_arr, wbase: jax.Array, k: int, *, interpret: bo
     wbase values are clamped into [k-1, len(flat_arr)); out-of-range lanes
     return in-bounds garbage that callers mask.
     """
+    outs, covered_c, sval, swb, nchunks, r = _window_sweep_core(
+        sweep_arr, flat_arr.shape[0], wbase, k, interpret
+    )
+
+    # Whole-chunk fixup for uncovered chunks (see _chunk_budget).
+    bc = _chunk_budget(nchunks)
+    fcidx, fvalid, overflow = _compact_flagged_chunks(covered_c, bc)
+    fw = swb.reshape(nchunks, CHUNK)[fcidx].reshape(-1)
+    fix = flat_arr[
+        fw[:, None].astype(jnp.int32) - jnp.arange(k, dtype=jnp.int32)[None, :]
+    ]  # [bc*CHUNK, k]
+    dst = jnp.where(fvalid, fcidx, nchunks)
+    outs = [
+        outs[j]
+        .reshape(nchunks, CHUNK)
+        .at[dst]
+        .set(fix[:, j].reshape(bc, CHUNK), mode="drop")
+        .reshape(-1)
+        for j in range(k)
+    ]
+
+    def full_fallback():
+        allfix = flat_arr[
+            swb[:, None].astype(jnp.int32) - jnp.arange(k, dtype=jnp.int32)[None, :]
+        ]
+        cov = jnp.broadcast_to(covered_c[:, None], (nchunks, CHUNK)).reshape(-1)
+        return tuple(jnp.where(cov, outs[j], allfix[:, j]) for j in range(k))
+
+    outs = jax.lax.cond(overflow, full_fallback, lambda: tuple(outs))
+    unsorted = _unsort(sval, *outs)
+    return jnp.stack([u[:r] for u in unsorted], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("flat_len", "k", "interpret"))
+def window_sweep_cov(sweep_arr, flat_len: int, wbase: jax.Array, k: int, *, interpret: bool = False):
+    """window_sweep WITHOUT a flat fixup array: returns (words [r, k],
+    covered bool [r]).  Uncovered lanes hold garbage and must be re-served
+    by the caller (the slot-verify path re-dispatches them through the
+    classic engine).  Used where the flat copy of a multi-GB table is not
+    worth its HBM (slim verify fat rows at chr1 scale)."""
+    outs, covered_c, sval, _swb, nchunks, r = _window_sweep_core(
+        sweep_arr, flat_len, wbase, k, interpret
+    )
+    covb = jnp.broadcast_to(covered_c[:, None], (nchunks, CHUNK)).reshape(-1)
+    unsorted = _unsort(sval, covb.astype(jnp.uint32), *outs)
+    cov = unsorted[0][:r].astype(bool)
+    return jnp.stack([u[:r] for u in unsorted[1:]], axis=1), cov
+
+
+def _window_sweep_core(sweep_arr, flat_len: int, wbase: jax.Array, k: int, interpret: bool):
+    """Shared sort + Pallas stream of window_sweep / window_sweep_cov.
+
+    Returns (outs list of k flat uint32 arrays in SORTED order… unsorted by
+    sval downstream, covered_c per chunk, sval sort payload, swb sorted
+    wbase, nchunks, r)."""
     assert k >= 2
     TRACE_COUNTS["window_sweep"] += 1
     r = wbase.shape[0]
     nt = sweep_arr.shape[0]
-    wb = jnp.clip(wbase, jnp.uint32(k - 1), jnp.uint32(flat_arr.shape[0] - 1))
+    wb = jnp.clip(wbase, jnp.uint32(k - 1), jnp.uint32(flat_len - 1))
     lo = wb - jnp.uint32(k - 1)  # lowest word read; wbase >= TEXT_PAD_WORDS >= k-1
     anchor = lo >> 3
     off = (lo & jnp.uint32(7)).astype(jnp.int32)
@@ -723,32 +778,5 @@ def window_sweep(sweep_arr, flat_arr, wbase: jax.Array, k: int, *, interpret: bo
         sweep_arr,
     )
     outs = [o.reshape(-1) for o in outs]
-
-    # Whole-chunk fixup for uncovered chunks (see _chunk_budget).
     swb = (sanc.astype(jnp.uint32) << 3) + soff.astype(jnp.uint32) + jnp.uint32(k - 1)
-    bc = _chunk_budget(nchunks)
-    fcidx, fvalid, overflow = _compact_flagged_chunks(covered_c, bc)
-    fw = swb.reshape(nchunks, CHUNK)[fcidx].reshape(-1)
-    fix = flat_arr[
-        fw[:, None].astype(jnp.int32) - jnp.arange(k, dtype=jnp.int32)[None, :]
-    ]  # [bc*CHUNK, k]
-    dst = jnp.where(fvalid, fcidx, nchunks)
-    outs = [
-        outs[j]
-        .reshape(nchunks, CHUNK)
-        .at[dst]
-        .set(fix[:, j].reshape(bc, CHUNK), mode="drop")
-        .reshape(-1)
-        for j in range(k)
-    ]
-
-    def full_fallback():
-        allfix = flat_arr[
-            swb[:, None].astype(jnp.int32) - jnp.arange(k, dtype=jnp.int32)[None, :]
-        ]
-        cov = jnp.broadcast_to(covered_c[:, None], (nchunks, CHUNK)).reshape(-1)
-        return tuple(jnp.where(cov, outs[j], allfix[:, j]) for j in range(k))
-
-    outs = jax.lax.cond(overflow, full_fallback, lambda: tuple(outs))
-    unsorted = _unsort(sval, *outs)
-    return jnp.stack([u[:r] for u in unsorted], axis=1)
+    return outs, covered_c, sval, swb, nchunks, r

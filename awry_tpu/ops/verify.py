@@ -344,6 +344,23 @@ def count_locate_verify_t(
     # for six transfers vs ~45 ms for one on the relay link), and redis
     # lanes' counts are recomputed anyway so a small clamp loses nothing
     # (non-redis counts are exact and <= WIDE_CAP).
+    bundle = _pack_result_bundle(
+        index, text_pos, counts, redis,
+        jnp.where(valid_g, lane_of_group, B), pos_slot, ok_slot,
+    )
+    return bundle, starts, ends
+
+
+def _packed_bundle(index: FmDeviceIndex) -> bool:
+    """u32-per-lane bundle mode: positions fit 28 bits and exact non-redis
+    counts (<= WIDE_CAP) fit 3."""
+    return index.bwt_len < (1 << 28) and WIDE_CAP <= 7
+
+
+def _pack_result_bundle(index, text_pos, counts, redis, lane_of_group, pos_slot, ok_slot):
+    """Pack (lane words + wide meta) into the single host-bound buffer (see
+    count_locate_verify_t's bundle doc; unpack_verify_bundle is the host
+    mirror).  Shared by the switch-step and slot-verify paths."""
     okbits = (
         ok_slot.astype(jnp.uint32) << jnp.arange(WIDE_CAP, dtype=jnp.uint32)[None, :]
     ).sum(axis=1, dtype=jnp.uint32)
@@ -359,26 +376,135 @@ def count_locate_verify_t(
             | (jnp.minimum(counts, jnp.uint32(7)) << 28)
             | (redis.astype(jnp.uint32) << 31)
         )
-        bundle = jnp.concatenate([lane_words, wide_meta.reshape(-1)])
+        return jnp.concatenate([lane_words, wide_meta.reshape(-1)])
+    flags = (
+        jnp.minimum(counts, jnp.uint32(127)).astype(jnp.uint8)
+        | (redis.astype(jnp.uint8) << 7)
+    )
+    return jnp.concatenate(
+        [
+            jax.lax.bitcast_convert_type(text_pos, jnp.uint8).reshape(-1),
+            flags,
+            jax.lax.bitcast_convert_type(wide_meta, jnp.uint8).reshape(-1),
+        ]
+    )
+
+
+def count_locate_slots_t(
+    index: FmDeviceIndex, qt: jax.Array, qlens: jax.Array, s: int, *, no_sentinel: bool = False
+):
+    """Slot-verify fused count+locate: ZERO post-seed rank sweeps.
+
+    Applicable when the k-mer seed alone narrows the expected range width
+    to ~1 (slot_regime_capable: bwt_len / base^k small).  The search stops
+    AT the seed (s == kmer_len); every lane with 1 <= width <= WIDE_CAP
+    verifies ALL its candidate rows directly against the pre-aligned fat
+    rows (SLIM 4-word rows in the HBM regime, served by the sorted sweep):
+    one fat gather + static word compares per candidate replaces the
+    switch-step path's post-seed rank sweeps AND its wide-group machinery.
+    Wider lanes (heavy repeats, P ~ Poisson tail of the expected width) and
+    sweep-uncovered lanes are flagged for classic re-dispatch.
+
+    Returns the same ``(bundle, starts, ends)`` contract as
+    count_locate_verify_t — the engine's unpack/finish paths are shared:
+    counts/pos per lane in the lane words, multi-hit (2..WIDE_CAP) lanes'
+    per-slot positions in the wide-meta groups.
+    """
+    assert s == index.kmer_len, "slot path stops the search at the seed"
+    starts, ends = search_ranges_t(index, qt, qlens, num_steps=s, no_sentinel=no_sentinel)
+    width = counts_from_ranges(starts, ends)
+    long_enough = qlens > s
+    B = starts.shape[0]
+    L = qt.shape[0]
+    bits = 4 if index.alphabet.cardinality <= 16 else 8
+    spw = 32 // bits
+    rw = index.vw_row_words
+    w = index.verify_windows_w
+    assert L <= s + spw * w, "padded query length exceeds the slot fat window"
+
+    jslot = jnp.arange(WIDE_CAP, dtype=jnp.uint32)
+    fits = long_enough & (width >= 1) & (width <= WIDE_CAP)
+    slot_valid = fits[:, None] & (jslot[None, :] < width[:, None])  # [B, CAP]
+    slot_rows = jnp.where(slot_valid, starts[:, None] + jslot[None, :], jnp.uint32(0))
+
+    from .sweep import (
+        _auto_interpret,
+        window_sweep,
+        window_sweep_cov,
+        window_sweep_suits,
+    )
+
+    N = B * WIDE_CAP
+    flat_len = index.bwt_len * rw
+    if index.vw_sweep is not None and window_sweep_suits(index.vw_sweep, N):
+        wbase = (slot_rows.reshape(-1) * jnp.uint32(rw)) | jnp.uint32(rw - 1)
+        if index.vw_flat is not None:
+            # Flat fixup copy available (VMEM regime): uncovered chunks are
+            # re-served in place, no re-dispatch.
+            words = window_sweep(
+                index.vw_sweep, index.vw_flat, wbase, rw, interpret=_auto_interpret()
+            )
+            cov = jnp.ones((B, WIDE_CAP), dtype=bool)
+        else:
+            words, cov = window_sweep_cov(
+                index.vw_sweep, flat_len, wbase, rw, interpret=_auto_interpret()
+            )
+            cov = cov.reshape(B, WIDE_CAP)
+        fat = words[:, ::-1].reshape(B, WIDE_CAP, rw)
+    elif index.verify_windows is not None:
+        fat = index.verify_windows[slot_rows.reshape(-1).astype(jnp.int32), :rw]
+        fat = fat.reshape(B, WIDE_CAP, rw)
+        cov = jnp.ones((B, WIDE_CAP), dtype=bool)
     else:
-        flags = (
-            jnp.minimum(counts, jnp.uint32(127)).astype(jnp.uint8)
-            | (redis.astype(jnp.uint8) << 7)
+        # No fat source reachable for this batch shape: every candidate
+        # lane re-dispatches (exactness preserved; tiny batches land here).
+        fat = jnp.zeros((B, WIDE_CAP, rw), dtype=jnp.uint32)
+        cov = jnp.zeros((B, WIDE_CAP), dtype=bool)
+
+    mask_sym = jnp.uint32((1 << bits) - 1)
+    p_slot = fat[:, :, w]
+    ok_cmp = jnp.ones((B, WIDE_CAP), dtype=bool)
+    for d in range(s, L):
+        i, t = (d - s) // spw, (d - s) % spw
+        qsym = qt[L - 1 - d].astype(jnp.uint32)[:, None]
+        ok_cmp = ok_cmp & (
+            (((fat[:, :, i] >> jnp.uint32(bits * t)) & mask_sym) == qsym)
+            | (d >= qlens)[:, None]
         )
-        bundle = jnp.concatenate(
-            [
-                jax.lax.bitcast_convert_type(text_pos, jnp.uint8).reshape(-1),
-                flags,
-                jax.lax.bitcast_convert_type(wide_meta, jnp.uint8).reshape(-1),
-            ]
-        )
+
+    rem = jnp.where(long_enough, qlens - s, 0).astype(jnp.uint32)
+    ok = ok_cmp & slot_valid & cov & (p_slot >= rem[:, None])
+    pos_adj = p_slot - rem[:, None]
+    lane_cov = (cov | ~slot_valid).all(axis=1)
+    counts_v = ok.sum(axis=1).astype(jnp.uint32)
+
+    settled = fits & lane_cov
+    counts = jnp.where(settled, counts_v, width)
+    redis = (long_enough & (width >= 1) & ~settled) | ((width >= 1) & ~long_enough)
+
+    first = jnp.argmax(ok, axis=1)
+    text_pos = jnp.take_along_axis(pos_adj, first[:, None], axis=1)[:, 0]
+
+    # Multi-hit settled lanes carry their per-slot positions through the
+    # wide-meta groups (same compaction trick as the switch-step path);
+    # budget overflow re-dispatches.
+    multi = settled & (counts_v >= 2)
+    G = wide_groups(B)
+    csum = jnp.cumsum(multi.astype(jnp.int32))
+    lane_of_group = jnp.searchsorted(
+        csum, jnp.arange(1, G + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+    valid_g = lane_of_group < B
+    lane_safe = jnp.where(valid_g, lane_of_group, 0)
+    pos_slot_g = pos_adj[lane_safe]
+    ok_g = ok[lane_safe] & valid_g[:, None]
+    redis = redis | (multi & (csum > G))
+    lane_of_group = jnp.where(valid_g, lane_of_group, B)
+
+    bundle = _pack_result_bundle(
+        index, text_pos, counts, redis, lane_of_group, pos_slot_g, ok_g
+    )
     return bundle, starts, ends
-
-
-def _packed_bundle(index: FmDeviceIndex) -> bool:
-    """u32-per-lane bundle mode: positions fit 28 bits and exact non-redis
-    counts (<= WIDE_CAP) fit 3."""
-    return index.bwt_len < (1 << 28) and WIDE_CAP <= 7
 
 
 def unpack_verify_bundle(bundle: "np.ndarray", batch: int, groups: int):
