@@ -215,6 +215,29 @@ def _occ_kernel(alphabet, wt):
     return kernel
 
 
+def _occ_pair_kernel(alphabet, wt):
+    """Both endpoint ranks of an LF range update from ONE chunk visit: the
+    request stream is sorted by the LOW position (start-1); the high
+    position (end) rides as a payload column and reads the SAME streamed
+    windows (end - start < the window span for every covered chunk, checked
+    by the caller's coverage flag).  Halves the sort/stream/grid work of a
+    rank step vs two independent single-position requests."""
+
+    def kernel(cw_ref, ps_ref, pos_ref, posb_ref, sym_ref, winA_ref, winB_ref,
+               occa_ref, occb_ref):
+        c = pl.program_id(0)
+        r = c % 8
+        base = cw_ref[c] * (wt * CHUNK)
+        sym = sym_ref[0, r, :][None, :]
+        for pref, oref in ((pos_ref, occa_ref), (posb_ref, occb_ref)):
+            pos = pref[0, r, :][None, :]
+            local_block = (pos >> 8).astype(jnp.int32) - base
+            rows_t = _row_select(winA_ref, winB_ref, local_block)
+            oref[0, r, :] = _occ_from_rows_t(alphabet, rows_t, pos & jnp.uint32(255), sym)
+
+    return kernel
+
+
 def _backstep_kernel(alphabet, mark_offset, ambiguity_idx, wt):
     """Fused marked-walk visit: from ONE row selection, emit the LF-stepped
     row (sentinel rows -> 0; src/fm_index.rs:585-593) and the packed mark
@@ -415,6 +438,89 @@ def occurrence_sweep(index: FmDeviceIndex, pos: jax.Array, sym: jax.Array, *, in
     return occ[:r], cov[:r]
 
 
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def occurrence_sweep_pair(
+    index: FmDeviceIndex, pos_a: jax.Array, pos_b: jax.Array, sym: jax.Array,
+    *, interpret: bool = False,
+):
+    """(Occ(pos_a[i], sym[i]), Occ(pos_b[i], sym[i])) in one sweep.
+
+    Both endpoints of an LF range update sit within one request: sorting by
+    pos_a alone (HALF the sort keys of two independent requests) still
+    covers pos_b, because pos_b >= pos_a and pos_b - pos_a = range width,
+    far below the window span for every serving-shaped batch — the per-chunk
+    coverage check includes the pos_b maximum, so wide stragglers just take
+    the fixup/fallback like any uncovered chunk.
+
+    Returns (occ_a uint32 [R], occ_b uint32 [R], covered bool [R])."""
+    TRACE_COUNTS["occurrence_sweep"] += 1
+    r = pos_a.shape[0]
+    val = (jnp.arange(r, dtype=jnp.int32) << _VAL_SHIFT) | sym.astype(jnp.int32)
+    nt = index.blocks_sweep.shape[0]
+    w = index.blocks_sweep.shape[1]
+    wt = pick_window_tiles(nt, r, w)
+    nwin = nt // wt
+
+    nchunks = (-(-r // CHUNK) + 7) // 8 * 8
+    npad = nchunks * CHUNK
+    idx = jnp.arange(npad, dtype=jnp.int32)
+    pos_p = jnp.where(idx < r, _pad_to(pos_a, npad), pos_a[r - 1])
+    posb_p = jnp.where(idx < r, _pad_to(pos_b, npad), pos_a[r - 1])
+    val_p = jnp.where(idx < r, _pad_to(val, npad), idx << _VAL_SHIFT)
+    spos, sval, sposb = jax.lax.sort((pos_p, val_p, posb_p), num_keys=1)
+    win, covered_a = _chunk_windows(spos, wt)
+    maxb_blk = (sposb.reshape(nchunks, CHUNK) >> 8).astype(jnp.int32).max(axis=1)
+    covered_c = covered_a & ((maxb_blk - win * (wt * CHUNK)) < 2 * wt * CHUNK)
+    ssym = (sval & ((1 << _VAL_SHIFT) - 1)).astype(jnp.int32)
+
+    occa_s, occb_s = pl.pallas_call(
+        _occ_pair_kernel(index.alphabet, wt),
+        grid_spec=_grid_spec(nchunks, nwin, w, n_req=3, n_out=2, wt=wt),
+        out_shape=(
+            jax.ShapeDtypeStruct((nchunks // 8, 8, CHUNK), jnp.uint32),
+            jax.ShapeDtypeStruct((nchunks // 8, 8, CHUNK), jnp.uint32),
+        ),
+        interpret=interpret,
+    )(
+        win,
+        index.prefix_sums,
+        spos.reshape(nchunks // 8, 8, CHUNK),
+        sposb.reshape(nchunks // 8, 8, CHUNK),
+        ssym.reshape(nchunks // 8, 8, CHUNK),
+        index.blocks_sweep,
+        index.blocks_sweep,
+    )
+    occa_s, occb_s = occa_s.reshape(-1), occb_s.reshape(-1)
+
+    # Whole-chunk coverage fixup on a fixed budget (see _chunk_budget).
+    from .rank import occurrence
+
+    bc = _chunk_budget(nchunks)
+    fcidx, fvalid, overflow = _compact_flagged_chunks(covered_c, bc)
+    spos2 = spos.reshape(nchunks, CHUNK)
+    sposb2 = sposb.reshape(nchunks, CHUNK)
+    sym2 = ssym.reshape(nchunks, CHUNK)
+    fsym = sym2[fcidx].reshape(-1)
+    fix_a = occurrence(index, spos2[fcidx].reshape(-1), fsym)
+    fix_b = occurrence(index, sposb2[fcidx].reshape(-1), fsym)
+    dst = jnp.where(fvalid, fcidx, nchunks)
+    occa_s = occa_s.reshape(nchunks, CHUNK).at[dst].set(
+        fix_a.reshape(bc, CHUNK), mode="drop").reshape(-1)
+    occb_s = occb_s.reshape(nchunks, CHUNK).at[dst].set(
+        fix_b.reshape(bc, CHUNK), mode="drop").reshape(-1)
+
+    occ_a, occ_b = _unsort(sval, occa_s, occb_s)
+    cov = jax.lax.cond(
+        overflow,
+        lambda: _unsort(
+            sval,
+            jnp.broadcast_to(covered_c[:, None], (nchunks, CHUNK)).reshape(-1),
+        )[0],
+        lambda: jnp.ones((npad,), bool),
+    )
+    return occ_a[:r], occ_b[:r], cov[:r]
+
+
 def _auto_interpret() -> bool:
     """Pallas interpreter off-TPU (tests/CI run the CPU backend)."""
     return jax.default_backend() != "tpu"
@@ -423,20 +529,25 @@ def _auto_interpret() -> bool:
 def sweep_update_range(index: FmDeviceIndex, starts, ends, sym):
     """Drop-in LF-mapping range update (rank.update_range contract) served by
     the sorted sweep; uncovered lanes fall back to the plain-gather rank via
-    lax.cond so the common (fully covered) batch never pays for it."""
+    lax.cond so the common (fully covered) batch never pays for it.
+
+    Both endpoint ranks come from ONE paired sweep (occurrence_sweep_pair):
+    half the sort keys and grid chunks of the two-request form."""
     from .rank import occurrence, prefix_sum_select
 
-    b = starts.shape[0]
-    pos = jnp.concatenate([starts - jnp.uint32(1), ends])
-    sym2 = jnp.concatenate([sym, sym])
-    occ, cov = occurrence_sweep(index, pos, sym2, interpret=_auto_interpret())
-    occ = jax.lax.cond(
-        jnp.all(cov),
-        lambda: occ,
-        lambda: jnp.where(cov, occ, occurrence(index, pos, sym2)),
+    pos_a = starts - jnp.uint32(1)
+    occ_a, occ_b, cov = occurrence_sweep_pair(
+        index, pos_a, ends, sym, interpret=_auto_interpret()
     )
+
+    def fixup():
+        oa = jnp.where(cov, occ_a, occurrence(index, pos_a, sym))
+        ob = jnp.where(cov, occ_b, occurrence(index, ends, sym))
+        return oa, ob
+
+    occ_a, occ_b = jax.lax.cond(jnp.all(cov), lambda: (occ_a, occ_b), fixup)
     c = prefix_sum_select(index, sym)
-    return c + occ[:b], c + occ[b:] - jnp.uint32(1)
+    return c + occ_a, c + occ_b - jnp.uint32(1)
 
 
 def _sweep_visit(index: FmDeviceIndex, pos: jax.Array, pay: jax.Array, interp: bool):

@@ -87,33 +87,44 @@ def _sharded_update_fn(local: FmDeviceIndex):
 
     def update(starts, ends, sym):
         c = local.prefix_sums[sym]
-        b = starts.shape[0]
-        pos = jnp.concatenate([starts - jnp.uint32(1), ends])
-        sym2 = jnp.concatenate([sym, sym])
         nb_local = local.blocks.shape[0]
         base = jax.lax.axis_index(SHARD_AXIS).astype(jnp.uint32) * jnp.uint32(
             nb_local * 256
         )
-        pos_local = pos - base
-        owned = (pos >= base) & (pos_local < jnp.uint32(nb_local * 256))
-        clamped = jnp.where(owned, pos_local, jnp.uint32(0))
+        pos_a = starts - jnp.uint32(1)
+        la, lb = pos_a - base, ends - base
+        own_a = (pos_a >= base) & (la < jnp.uint32(nb_local * 256))
+        own_b = (ends >= base) & (lb < jnp.uint32(nb_local * 256))
+        ca = jnp.where(own_a, la, jnp.uint32(0))
+        cb = jnp.where(own_b, lb, jnp.uint32(0))
 
         from ..ops.rank import occurrence
-        from ..ops.sweep import _auto_interpret, occurrence_sweep, sweep_suits
+        from ..ops.sweep import _auto_interpret, occurrence_sweep_pair, sweep_suits
 
-        if local.blocks_sweep is not None and sweep_suits(local, pos.shape[0]):
-            occ, cov = occurrence_sweep(
-                local, clamped, sym2, interpret=_auto_interpret()
+        if local.blocks_sweep is not None and sweep_suits(local, starts.shape[0]):
+            # Both endpoints in ONE paired sweep over the local shard.  The
+            # endpoints may be owned by DIFFERENT shards: unowned positions
+            # clamp to 0, which keeps the pair inside the first window
+            # whenever the owned one is nearby — cross-shard straddles just
+            # take the per-chunk fixup (plain local rank) like any
+            # uncovered chunk.
+            occ_a, occ_b, cov = occurrence_sweep_pair(
+                local, ca, cb, sym, interpret=_auto_interpret()
             )
-            occ = jax.lax.cond(
-                jnp.all(cov),
-                lambda: occ,
-                lambda: jnp.where(cov, occ, occurrence(local, clamped, sym2)),
-            )
+
+            def fixup():
+                return (
+                    jnp.where(cov, occ_a, occurrence(local, ca, sym)),
+                    jnp.where(cov, occ_b, occurrence(local, cb, sym)),
+                )
+
+            occ_a, occ_b = jax.lax.cond(jnp.all(cov), lambda: (occ_a, occ_b), fixup)
         else:
-            occ = occurrence(local, clamped, sym2)
-        occ = jax.lax.psum(jnp.where(owned, occ, jnp.uint32(0)), SHARD_AXIS)
-        return c + occ[:b], c + occ[b:] - jnp.uint32(1)
+            occ_a = occurrence(local, ca, sym)
+            occ_b = occurrence(local, cb, sym)
+        occ_a = jax.lax.psum(jnp.where(own_a, occ_a, jnp.uint32(0)), SHARD_AXIS)
+        occ_b = jax.lax.psum(jnp.where(own_b, occ_b, jnp.uint32(0)), SHARD_AXIS)
+        return c + occ_a, c + occ_b - jnp.uint32(1)
 
     return update
 

@@ -482,6 +482,11 @@ def main() -> None:
     signal.signal(signal.SIGINT, _emit_and_exit)
 
     only = set(sys.argv[1:])
+    if only:
+        # Single-config invocations (cache building / debugging) must not
+        # clobber the full-matrix results file.
+        global _RESULTS_PATH
+        _RESULTS_PATH = _RESULTS_PATH.replace(".json", ".partial.json")
     log(f"platform: {jax.default_backend()}, devices: {jax.devices()}")
 
     results = []
