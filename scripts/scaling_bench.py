@@ -86,11 +86,91 @@ def main():
                                  "efficiency": round(eff, 3)})
         print(f"Mode B (range-shard)  {nd} dev: {qps:,.0f} q/s  eff={eff:.2f}", flush=True)
 
+    results["collectives"] = collective_cost(index, batches[0])
+
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                        "scaling_results.json")
     with open(out, "w") as f:
         json.dump(results, f, indent=2)
     print(json.dumps(results))
+
+
+def collective_cost(index, batch):
+    """Isolate Mode B's collective cost per rank step (round-2 verdict weak
+    #6): every LF step psums TWO uint32[B/d] rank vectors over the shard
+    axis.  Measured two ways:
+
+    * chained-psum microbench: K dependent psums over the same payload
+      shape -> per-psum wall time on THIS mesh (virtual CPU devices here;
+      run with AWRY_SCALING_TPU=1 on a pod slice for ICI numbers);
+    * whole-engine A/B: Mode B count with psums intact vs the same program
+      with lax.psum patched to identity at trace time (identical local
+      compute, wrong results, zero collectives) -> collective share of the
+      end-to-end step.
+
+    Plus the analytic bytes/step (payload only - what an ICI-bandwidth
+    model needs): 2 psums x 4 B x B lanes, all-reduced over `shard`.
+    """
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from awry_tpu.parallel.mesh import SHARD_AXIS
+
+    out = []
+    total = len(jax.devices())
+    for nd in (2, 4, 8):
+        if nd > total:
+            continue
+        mesh = make_mesh(nd, shard_size=nd)
+        b_local = max(1, len(batch) // nd)
+        K = 32
+
+        def chained(x):
+            for _ in range(K):
+                x = jax.lax.psum(x, SHARD_AXIS) + jnp.uint32(1)
+            return x
+
+        fn = jax.jit(shard_map(chained, mesh=mesh, in_specs=P("data"),
+                               out_specs=P("data"), check_vma=False))
+        x = np.zeros((max(nd, 4096),), dtype=np.uint32)
+        fn(x).block_until_ready()
+        t0 = time.perf_counter()
+        for _ in range(10):
+            fn(x).block_until_ready()
+        per_psum_us = (time.perf_counter() - t0) / (10 * K) * 1e6
+
+        # Whole-engine A/B: psum vs identity at trace time.
+        eng = ShardedFmEngine(index, make_mesh(nd, shard_size=nd), shard_size=nd)
+        t_with = _time_count(eng, batch)
+        real_psum = jax.lax.psum
+        try:
+            jax.lax.psum = lambda x, axis, **kw: x  # traced into the program
+            eng2 = ShardedFmEngine(index, make_mesh(nd, shard_size=nd), shard_size=nd)
+            t_without = _time_count(eng2, batch)
+        finally:
+            jax.lax.psum = real_psum
+        row = {
+            "shards": nd,
+            "psum_payload_bytes_per_step": 2 * 4 * len(batch),
+            "per_psum_us_chained": round(per_psum_us, 1),
+            "modeB_count_s_with_psum": round(t_with, 4),
+            "modeB_count_s_no_psum": round(t_without, 4),
+            "collective_share": round(max(0.0, 1 - t_without / t_with), 3),
+        }
+        out.append(row)
+        print(f"collectives {nd} shards: {row}", flush=True)
+    return out
+
+
+def _time_count(engine, batch, trials=3):
+    engine.count_batch(batch)
+    best = float("inf")
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        engine.count_batch(batch)
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
 if __name__ == "__main__":
