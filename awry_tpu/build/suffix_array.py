@@ -36,8 +36,14 @@ def _load_native():
             return _lib_handle
         try:
             if (not os.path.exists(_LIB)) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
-                cmd = ["g++", "-O3", "-std=c++17", "-fopenmp", "-shared", "-fPIC", "-o", _LIB, _SRC]
+                # Compile to a temp path + atomic rename: overwriting the
+                # .so in place would corrupt the mapping of any RUNNING
+                # process (parallel partition-build workers) that loaded
+                # the previous build.
+                tmp = _LIB + f".tmp.{os.getpid()}"
+                cmd = ["g++", "-O3", "-std=c++17", "-fopenmp", "-shared", "-fPIC", "-o", tmp, _SRC]
                 subprocess.run(cmd, check=True, capture_output=True)
+                os.replace(tmp, _LIB)
             lib = ctypes.CDLL(_LIB)
             lib.awry_gather_u8.restype = ctypes.c_int
             lib.awry_gather_u8.argtypes = [
@@ -51,6 +57,14 @@ def _load_native():
                 ctypes.POINTER(ctypes.c_uint8),
                 ctypes.POINTER(ctypes.c_uint32),
                 ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_int64,
+            ]
+            lib.awry_gather_rows_u32.restype = ctypes.c_int
+            lib.awry_gather_rows_u32.argtypes = [
+                ctypes.POINTER(ctypes.c_uint32),
+                ctypes.POINTER(ctypes.c_uint32),
+                ctypes.POINTER(ctypes.c_uint32),
+                ctypes.c_int64,
                 ctypes.c_int64,
             ]
             lib.awry_sais_i32.restype = ctypes.c_int
@@ -159,6 +173,25 @@ def build_suffix_array(text: np.ndarray | bytes, *, force_fallback: bool = False
     if rc != 0:
         raise RuntimeError(f"native SA-IS failed with code {rc}")
     return sa
+
+
+def gather_rows_u32(src: np.ndarray, idx: np.ndarray) -> np.ndarray:
+    """Parallel dst[i, :] = src[idx[i], :] for uint32 [N, W] tables (numpy
+    fancy indexing fallback when the native library is unavailable)."""
+    src = np.ascontiguousarray(src, dtype=np.uint32)
+    lib = _load_native()
+    if lib is None:
+        return src[idx]
+    idx = np.ascontiguousarray(idx, dtype=np.uint32)
+    dst = np.empty((idx.shape[0], src.shape[1]), dtype=np.uint32)
+    lib.awry_gather_rows_u32(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        idx.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        ctypes.c_int64(idx.shape[0]),
+        ctypes.c_int64(src.shape[1]),
+    )
+    return dst
 
 
 def gather_u8(src: np.ndarray, idx: np.ndarray) -> np.ndarray:

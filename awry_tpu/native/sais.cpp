@@ -332,6 +332,20 @@ int awry_gather_u8_u32(const uint8_t* src, const uint32_t* idx, uint8_t* dst, in
   return 0;
 }
 
+// Row gather dst[i, :] = src[idx[i], :] for uint32 rows of `w` words — the
+// fat-verify-row permutation (text-order windows -> BWT-row order) moves
+// n x 16 B at genome scale; OpenMP threads hide the miss latency.
+int awry_gather_rows_u32(const uint32_t* src, const uint32_t* idx, uint32_t* dst,
+                         int64_t n, int64_t w) {
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; ++i) {
+    const uint32_t* s = src + (int64_t)idx[i] * w;
+    uint32_t* d = dst + i * w;
+    for (int64_t j = 0; j < w; ++j) d[j] = s[j];
+  }
+  return 0;
+}
+
 // Returns 0 on success. text[n-1] must be the unique smallest byte.
 int awry_sais_i32(const uint8_t* text, int32_t n, int32_t* sa) {
   if (n <= 0) return -1;
