@@ -303,6 +303,8 @@ def to_device(
     device=None,
     build_sweep: bool = False,
     minimal: bool = False,
+    ship_row_sa: bool | None = None,
+    lean: bool = False,
 ) -> FmDeviceIndex:
     """Ship a host index to the device(s).
 
@@ -320,6 +322,18 @@ def to_device(
     build (ops/kmer.py), whose update_range loop never locates or
     verifies - shipping the full index there cost GBs of dead HBM (and,
     at chr1 scale with mark=1 fat rows, an outright OOM).
+
+    `ship_row_sa`: ship the ROW-sampled SA (bwt_len/sa_ratio uint32s).  The
+    marked walk never reads it - only the row-sampled fallback walk does
+    (indexes without marks, and ShardedFmEngine's collective backstep walk) -
+    so the default (None) ships it iff the index has no marks.  On GRCh38
+    the old always-ship was 1.55 GB of dead HBM.
+
+    `lean=True` additionally skips the slim search-row copy (blocks_search,
+    ~0.5 B/symbol): rank gathers then read the full fused rows (25% more
+    bytes each).  For multi-index deployments (PartitionedFmIndex: four
+    2.6 Gbp partitions sharing one chip's HBM) the copy is the difference
+    between fitting and RESOURCE_EXHAUSTED.
     """
     if index.bwt_len >= 2**32:
         raise NotImplementedError(
@@ -377,9 +391,11 @@ def to_device(
             rows8 = np.zeros((nw8, 8), dtype=np.uint32)
             rows8.reshape(-1)[: padded_text.shape[0]] = padded_text
             text_sweep_arr = put("text_sweep", build_sweep_blocks(rows8))
-    elif index.text_packed is not None:
+    elif index.text_packed is not None and not lean:
         # VMEM-regime verify compare: overlapping stride-4 rows of the
         # padded text, pre-symbol-reversed (see FmDeviceIndex.text_rows8).
+        # Skipped under `lean` (2x the packed text: 2.6 GB per pan-genome
+        # partition); the compare then takes the flat element gather.
         bits = 4 if index.alphabet.cardinality <= 16 else 8
         padded_text = np.concatenate(
             [np.zeros(_text_pad_words(), dtype=np.uint32),
@@ -465,11 +481,18 @@ def to_device(
             vw_sweep_arr = put("vw_sweep", build_sweep_blocks(vw))
             vw_flat_arr = put("vw_flat", np.ascontiguousarray(vw.reshape(-1)))
     blocks_search_arr = None
-    if not build_sweep and index.has_marks:
+    if not build_sweep and index.has_marks and not lean:
         slim_words = fused_row_words(index.alphabet, False)
         blocks_search_arr = put(
             "blocks_search", np.ascontiguousarray(fused[:, :slim_words])
         )
+    if ship_row_sa is None:
+        ship_row_sa = not index.has_marks
+    row_sa = (
+        index.sampled_sa.astype(np.uint32)
+        if ship_row_sa
+        else np.zeros(1, dtype=np.uint32)
+    )
     return FmDeviceIndex(
         blocks=put("blocks", fused),
         blocks_sweep=sweep_arr,
@@ -497,7 +520,7 @@ def to_device(
             else None
         ),
         prefix_sums=put("prefix_sums", index.prefix_sums.astype(np.uint32)),
-        sampled_sa=put("sampled_sa", index.sampled_sa.astype(np.uint32)),
+        sampled_sa=put("sampled_sa", row_sa),
         text_sampled_sa=put("text_sampled_sa", text_sampled.astype(np.uint32)),
         kmer_table=(
             # kmer_flat IS the same data: ship a placeholder instead of a

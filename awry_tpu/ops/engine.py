@@ -44,6 +44,12 @@ def _bucket(n: int, minimum: int = 16) -> int:
     return b
 
 
+# Rows per over-cap walk dispatch (see _assemble_flat_positions): far under
+# the sweep's MAX_SWEEP_REQUESTS SMEM gate, big enough that slab dispatch
+# overhead is noise against the walk itself.
+_OVERCAP_WALK_SLAB = 4 * 1024 * 1024
+
+
 def pack_wire(qsyms: np.ndarray, qlens: np.ndarray, crumb_lut: np.ndarray | None):
     """[B, L] int8 symbol matrix -> the densest wire format it admits.
 
@@ -104,6 +110,7 @@ class FmQueryEngine:
         use_verify: bool | None = None,
         strict: bool = False,
         mesh=None,
+        lean: bool = False,
     ):
         """``strict=True`` is the debug/sanitizer mode (SURVEY.md section 5):
         host indexes are value-validated before shipping, and pre-encoded
@@ -129,7 +136,13 @@ class FmQueryEngine:
         with zero hot-path collectives.  The mesh's non-'data' axes must be
         size 1 (range sharding lives in parallel.sharding.ShardedFmEngine);
         the data axis size must be a power of two (padded wire batches are
-        power-of-two bucketed)."""
+        power-of-two bucketed).
+
+        ``lean=True`` trims the device footprint for multi-index
+        deployments (several engines sharing one chip's HBM, e.g.
+        PartitionedFmIndex federation): skips the slim search-row copy —
+        rank gathers then read the full fused rows (25% more bytes per
+        step, same results)."""
         self.strict = strict
         self._mesh = mesh
         if mesh is not None:
@@ -171,7 +184,7 @@ class FmQueryEngine:
 
                 replicate = NamedSharding(mesh, PartitionSpec())
             self.device_index = to_device(
-                index, build_sweep=use_sweep, sharding=replicate
+                index, build_sweep=use_sweep, sharding=replicate, lean=lean
             )
         else:
             self.device_index = index
@@ -625,13 +638,25 @@ class FmQueryEngine:
             o_starts = starts.astype(np.int64)[over]
             o_counts = counts[over]
             o_total = int(o_counts.sum())
-            rows = np.zeros(_bucket(o_total, minimum=max(16, self._data_shards)), dtype=np.uint32)
             o_cum = np.concatenate(([0], np.cumsum(o_counts)))
             o_within = np.arange(o_total, dtype=np.int64) - np.repeat(o_cum[:-1], o_counts)
-            rows[:o_total] = (np.repeat(o_starts, o_counts) + o_within).astype(np.uint32)
-            walked = np.asarray(self._walk_fn(self.device_index, jnp.asarray(rows)))[:o_total]
+            all_rows = (np.repeat(o_starts, o_counts) + o_within).astype(np.uint32)
             dst = np.repeat(offsets[:-1][over], o_counts) + o_within
-            flat_pos[dst] = walked.astype(np.int64)
+            # Slabbed walk dispatches: repetitive texts expand over-cap hits
+            # into tens of millions of rows per batch; one dispatch that size
+            # blows the sweep's SMEM window-id budget (and compiles a fresh
+            # program per pow2 bucket).  Full slabs share ONE compiled shape.
+            slab = _OVERCAP_WALK_SLAB
+            for s0 in range(0, o_total, slab):
+                chunk = all_rows[s0 : s0 + slab]
+                m = chunk.shape[0]
+                rows = np.zeros(
+                    min(slab, _bucket(m, minimum=max(16, self._data_shards))),
+                    dtype=np.uint32,
+                )
+                rows[:m] = chunk
+                walked = np.asarray(self._walk_fn(self.device_index, jnp.asarray(rows)))[:m]
+                flat_pos[dst[s0 : s0 + m]] = walked.astype(np.int64)
         return flat_pos
 
     def count_locate_stream(self, query_batches, *, cap: int = 8, depth: int = 2):

@@ -46,6 +46,13 @@ from .device_index import FmDeviceIndex
 WINDOW_TILES = 8  # minimum tiles per window; window = 1024 blocks (160 KB nucleotide)
 MAX_PAD_TILES = 2 * 64  # sweep arrays pad to this multiple so every pow2 wt <= 64 divides
 CHUNK = 128  # requests per grid step (= lane width)
+# Request-count ceiling per sweep call: the per-chunk window ids are a
+# scalar-prefetch operand living in SMEM (1 MB/core), so nchunks int32s must
+# stay well under it - 16M requests = 131072 chunks = 512 KB.  Bigger batches
+# (repetitive-text locate expansions reach 100M+ rows) must be slabbed by the
+# caller or fall back to plain gathers; without this gate Mosaic fails the
+# whole program with 'Allocation would exceed memory (space=smem)'.
+MAX_SWEEP_REQUESTS = 16 * 1024 * 1024
 _FULL = 0xFFFFFFFF
 
 
@@ -78,7 +85,7 @@ def sweep_suits(index: FmDeviceIndex, num_requests: int) -> bool:
     ~num_blocks / 8k) exceed the VMEM-capped window size; callers should
     take the plain-gather path there instead of paying the per-call
     uncovered-fallback cliff."""
-    if index.blocks_sweep is None:
+    if index.blocks_sweep is None or num_requests > MAX_SWEEP_REQUESTS:
         return False
     nt, w = index.blocks_sweep.shape[0], index.blocks_sweep.shape[1]
     return pick_window_tiles(nt, num_requests, w) >= _want_window_tiles(nt, num_requests)
@@ -767,7 +774,7 @@ def window_sweep_suits(sweep_arr, num_requests: int) -> bool:
     """True when window_sweep over this 8-word-row layout can serve
     `num_requests` with guaranteed window coverage (batches too sparse for
     the VMEM-capped window pay the uncovered-fallback cliff instead)."""
-    if sweep_arr is None:
+    if sweep_arr is None or num_requests > MAX_SWEEP_REQUESTS:
         return False
     nt = sweep_arr.shape[0]
     return pick_window_tiles(nt, num_requests, 8) >= _want_window_tiles(nt, num_requests)

@@ -206,7 +206,12 @@ class ShardedFmEngine:
         # The slim search copy (occurrence's gather target) covers the same
         # block range as `blocks` and must shard with it.
         placement["blocks_search"] = sharded_or_repl
-        self.device_index = to_device(host, sharding=placement)
+        # Range-sharded locate walks through the COLLECTIVE backstep, which
+        # is the row-sampled walk - it needs the row-sampled SA on device
+        # (the single-chip marked walk never reads it; ops/device_index.py).
+        self.device_index = to_device(
+            host, sharding=placement, ship_row_sa=self.num_shards > 1 or None
+        )
         if self.num_shards > 1 and use_sweep:
             # Per-shard sorted-sweep layout of the LOCAL block range: each
             # shard's sweep array is built independently from its fused
@@ -445,16 +450,25 @@ class ShardedFmEngine:
             o_starts = np.asarray(starts_d)[:n].astype(np.int64)[over]
             o_counts = counts[over]
             o_total = int(o_counts.sum())
-            bucket = self.data_size
-            while bucket < o_total:
-                bucket *= 2
-            rows = np.zeros(bucket, dtype=np.uint32)
             o_cum = np.concatenate(([0], np.cumsum(o_counts)))
             o_within = np.arange(o_total, dtype=np.int64) - np.repeat(o_cum[:-1], o_counts)
-            rows[:o_total] = (np.repeat(o_starts, o_counts) + o_within).astype(np.uint32)
-            walked = np.asarray(self._walk(self.device_index, jnp.asarray(rows)))[:o_total]
+            all_rows = (np.repeat(o_starts, o_counts) + o_within).astype(np.uint32)
             dst = np.repeat(offsets[:-1][over], o_counts) + o_within
-            flat_pos[dst] = walked.astype(np.int64)
+            # Slabbed dispatches (ops/engine._assemble_flat_positions): one
+            # giant walk over a repetitive text's expanded hits would exceed
+            # the sweep kernels' SMEM window-id budget.
+            from ..ops.engine import _OVERCAP_WALK_SLAB, _bucket
+
+            for s0 in range(0, o_total, _OVERCAP_WALK_SLAB):
+                chunk = all_rows[s0 : s0 + _OVERCAP_WALK_SLAB]
+                m = chunk.shape[0]
+                rows = np.zeros(
+                    min(_OVERCAP_WALK_SLAB, _bucket(m, minimum=self.data_size)),
+                    dtype=np.uint32,
+                )
+                rows[:m] = chunk
+                walked = np.asarray(self._walk(self.device_index, jnp.asarray(rows)))[:m]
+                flat_pos[dst[s0 : s0 + m]] = walked.astype(np.int64)
 
         seq_idx = np.searchsorted(self._seq_starts_host, flat_pos, side="right") - 1
         local = flat_pos - self._seq_starts_host[seq_idx]

@@ -325,10 +325,12 @@ def run_pangenome(cfg, deadline: float | None):
         log(f"[{cfg['name']}] loaded {len(pfm.partitions)}-partition federation "
             f"in {_time.perf_counter()-t0:.0f}s")
 
-    # Attach single-copy engines (no sweep doubling: 4 partitions must
-    # share one chip's HBM here; per-host deployments would enable it).
+    # Attach single-copy LEAN engines (no sweep doubling, no slim search
+    # copy, no row-sampled SA: 4 partitions x 2.6 Gbp must share one chip's
+    # ~16 GB HBM - the full per-partition footprint RESOURCE_EXHAUSTs;
+    # per-host deployments would enable the fat layouts).
     for part in pfm.partitions:
-        part.engine = FmQueryEngine(part.index, use_sweep=False)
+        part.engine = FmQueryEngine(part.index, use_sweep=False, lean=True)
 
     rng = config_rng(cfg)
     src_recs = {int(i): _pangenome_record(cfg, int(i)) for i in rng.integers(0, cfg["records"], size=4)}

@@ -328,3 +328,66 @@ def test_minimal_device_index_serves_ranges(rng):
     for i, syms in enumerate(enc):
         hs, hend = he.search_range_for_symbols(index, syms)
         assert (int(starts[i]), int(ends[i])) == (int(hs), int(hend))
+
+
+def test_overcap_walk_is_slabbed(rng, monkeypatch):
+    """Over-cap locate expansion runs in bounded walk dispatches: repetitive
+    texts expand to tens of millions of rows, and one dispatch that size
+    exceeds the sweep kernels' SMEM window-id budget (round-3 chr1rep
+    compile failure).  With a tiny slab the results must be unchanged."""
+    import awry_tpu.ops.engine as eng_mod
+
+    # ~40 copies of one repeat: every repeat-drawn query has ~40 hits.
+    unit = bytes(random_seq(Alphabet.NUCLEOTIDE, rng, 60))
+    text = unit * 40 + bytes(random_seq(Alphabet.NUCLEOTIDE, rng, 500))
+    index = build_from_records([("s", text)], FmBuildArgs(lookup_table_kmer_len=3))
+    engine = FmQueryEngine(index)
+    queries = [unit[i : i + 8] for i in range(0, 40, 4)] + [text[-50:-30]]
+    baseline = engine.count_locate_arrays(queries, cap=2)
+
+    monkeypatch.setattr(eng_mod, "_OVERCAP_WALK_SLAB", 64)
+    engine2 = FmQueryEngine(index)
+    slabbed = engine2.count_locate_arrays(queries, cap=2)
+    for a, b in zip(baseline, slabbed):
+        np.testing.assert_array_equal(a, b)
+    he_counts = [he.count(index, q) for q in queries]
+    np.testing.assert_array_equal(slabbed[0].astype(np.int64), he_counts)
+    assert sum(c for c in he_counts if c > 2) > 2 * 64  # expansion spanned slabs
+
+
+def test_lean_engine_parity_and_footprint(rng):
+    """lean=True skips the slim search copy, text_rows8 and (with marks) the
+    row-sampled SA; count/locate stay exact (the pan-genome federation's
+    four-partitions-one-chip HBM fit depends on every skip)."""
+    text = random_seq(Alphabet.NUCLEOTIDE, rng, 3000)
+    index = build_from_records([("s", text)], FmBuildArgs(lookup_table_kmer_len=3))
+    lean_eng = FmQueryEngine(index, lean=True)
+    dev = lean_eng.device_index
+    assert dev.blocks_search is None
+    assert dev.text_rows8 is None
+    assert dev.sampled_sa.shape == (1,)  # marked index: row-sampled SA unused
+
+    full_eng = FmQueryEngine(index)
+    assert full_eng.device_index.sampled_sa.shape == (1,)  # marks: default skip
+    kmap = kmer_position_map(text, 10)
+    queries = list(kmap.keys())[:48]
+    for a, b in zip(
+        lean_eng.count_locate_arrays(queries, cap=2),
+        full_eng.count_locate_arrays(queries, cap=2),
+    ):
+        np.testing.assert_array_equal(a, b)
+    counts = lean_eng.count_batch(queries)
+    for q, c in zip(queries, counts):
+        assert int(c) == len(kmap[q])
+
+
+def test_sweep_request_gate():
+    """Sweep suitability caps the request count: past MAX_SWEEP_REQUESTS the
+    per-chunk window ids would overflow SMEM, so callers must see False."""
+    from awry_tpu.ops.sweep import MAX_SWEEP_REQUESTS, window_sweep_suits
+
+    class _Arr:
+        shape = (1 << 20, 8, 128)
+
+    assert window_sweep_suits(_Arr(), MAX_SWEEP_REQUESTS)
+    assert not window_sweep_suits(_Arr(), MAX_SWEEP_REQUESTS + 1)
