@@ -50,6 +50,29 @@ def _bucket(n: int, minimum: int = 16) -> int:
 _OVERCAP_WALK_SLAB = 4 * 1024 * 1024
 
 
+def _expand_walk(index, starts, cum, offset, *, slab: int):
+    """Walk hit rows [offset, offset + slab) of the over-cap expansion, with
+    the expansion computed ON DEVICE from the (range start, cumulative
+    count) pairs.
+
+    Hit h of the concatenated per-query hit stream belongs to query
+    j = searchsorted(cum, h, 'right') and is BWT row starts[j] + (h -
+    cum[j-1]).  Shipping only the ~100k pairs instead of the expanded rows
+    matters through a slow host<->device link: a repetitive-text batch
+    expands to ~83M rows (chr1rep profile), and uploading them cost ~20 s
+    of the measured 58 s/batch.  Lanes past cum[-1] walk row 0 (garbage the
+    caller slices off)."""
+    import jax.numpy as jnp
+
+    pos = offset + jnp.arange(slab, dtype=cum.dtype)
+    qid = jnp.searchsorted(cum, pos, side="right")
+    qid_c = jnp.minimum(qid, starts.shape[0] - 1)
+    prev = jnp.where(qid_c > 0, cum[jnp.maximum(qid_c - 1, 0)], 0)
+    rows = starts[qid_c] + (pos - prev).astype(jnp.uint32)
+    rows = jnp.where(pos < cum[-1], rows, jnp.uint32(0))
+    return lf_walk(index, rows)
+
+
 def pack_wire(qsyms: np.ndarray, qlens: np.ndarray, crumb_lut: np.ndarray | None):
     """[B, L] int8 symbol matrix -> the densest wire format it admits.
 
@@ -298,6 +321,7 @@ class FmQueryEngine:
         self._count_fn = jit_kernel(wrap(count_batch_kernel_t), dp)
         self._ranges_fn = jit_kernel(wrap(search_ranges_t), (dp, dp))
         self._walk_fn = jit_kernel(lf_walk, dp)
+        self._expand_walk_fn = jax.jit(_expand_walk, static_argnames=("slab",))
         self._count_locate_fn = jit_kernel(
             wrap(count_locate_capped_t), (dp, dp, dp, dp), static=("cap",)
         )
@@ -640,23 +664,49 @@ class FmQueryEngine:
             o_total = int(o_counts.sum())
             o_cum = np.concatenate(([0], np.cumsum(o_counts)))
             o_within = np.arange(o_total, dtype=np.int64) - np.repeat(o_cum[:-1], o_counts)
-            all_rows = (np.repeat(o_starts, o_counts) + o_within).astype(np.uint32)
             dst = np.repeat(offsets[:-1][over], o_counts) + o_within
             # Slabbed walk dispatches: repetitive texts expand over-cap hits
             # into tens of millions of rows per batch; one dispatch that size
             # blows the sweep's SMEM window-id budget (and compiles a fresh
             # program per pow2 bucket).  Full slabs share ONE compiled shape.
             slab = _OVERCAP_WALK_SLAB
-            for s0 in range(0, o_total, slab):
-                chunk = all_rows[s0 : s0 + slab]
-                m = chunk.shape[0]
-                rows = np.zeros(
-                    min(slab, _bucket(m, minimum=max(16, self._data_shards))),
-                    dtype=np.uint32,
-                )
-                rows[:m] = chunk
-                walked = np.asarray(self._walk_fn(self.device_index, jnp.asarray(rows)))[:m]
-                flat_pos[dst[s0 : s0 + m]] = walked.astype(np.int64)
+            slab_starts = range(0, o_total, slab)
+            if self._mesh is None and o_total + slab < 2**31:
+                # Expansion computed on device from the (start, cum) pairs
+                # (_expand_walk); every slab dispatches ASYNC before the
+                # first result is pulled, so the device pipelines the walks
+                # while the host drains position transfers.
+                m_b = _bucket(len(o_starts), minimum=16)
+                st = np.zeros(m_b, dtype=np.uint32)
+                st[: len(o_starts)] = o_starts
+                cum = np.full(m_b, o_total, dtype=np.int32)
+                cum[: len(o_counts)] = np.cumsum(o_counts)
+                d_starts, d_cum = jnp.asarray(st), jnp.asarray(cum)
+                outs = [
+                    self._expand_walk_fn(
+                        self.device_index, d_starts, d_cum, np.int32(s0), slab=slab
+                    )
+                    for s0 in slab_starts
+                ]
+                for s0, out in zip(slab_starts, outs):
+                    m = min(slab, o_total - s0)
+                    walked = np.asarray(out)[:m]
+                    flat_pos[dst[s0 : s0 + m]] = walked.astype(np.int64)
+            else:
+                # Data-sharded engines keep the host-expanded upload (the
+                # expansion would need a shard_map variant); batches this
+                # path serves are bounded by the mesh serving shape anyway.
+                all_rows = (np.repeat(o_starts, o_counts) + o_within).astype(np.uint32)
+                for s0 in slab_starts:
+                    chunk = all_rows[s0 : s0 + slab]
+                    m = chunk.shape[0]
+                    rows = np.zeros(
+                        min(slab, _bucket(m, minimum=max(16, self._data_shards))),
+                        dtype=np.uint32,
+                    )
+                    rows[:m] = chunk
+                    walked = np.asarray(self._walk_fn(self.device_index, jnp.asarray(rows)))[:m]
+                    flat_pos[dst[s0 : s0 + m]] = walked.astype(np.int64)
         return flat_pos
 
     def count_locate_stream(self, query_batches, *, cap: int = 8, depth: int = 2):
