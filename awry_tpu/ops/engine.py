@@ -44,10 +44,11 @@ def _bucket(n: int, minimum: int = 16) -> int:
     return b
 
 
-# Rows per over-cap walk dispatch (see _assemble_flat_positions): far under
-# the sweep's MAX_SWEEP_REQUESTS SMEM gate, big enough that slab dispatch
-# overhead is noise against the walk itself.
-_OVERCAP_WALK_SLAB = 4 * 1024 * 1024
+# Rows per over-cap walk dispatch (see _assemble_flat_positions): under the
+# sweep's MAX_SWEEP_REQUESTS SMEM gate, big enough that per-slab dispatch
+# round trips are noise against the position transfers (chr1rep: 83M hits
+# per batch = 11 slabs).
+_OVERCAP_WALK_SLAB = 8 * 1024 * 1024
 
 
 def _expand_walk(index, starts, cum, offset, *, slab: int):
@@ -688,6 +689,8 @@ class FmQueryEngine:
                     )
                     for s0 in slab_starts
                 ]
+                for out in outs:
+                    _start_d2h(out)  # overlap every slab's position transfer
                 for s0, out in zip(slab_starts, outs):
                     m = min(slab, o_total - s0)
                     walked = np.asarray(out)[:m]

@@ -68,19 +68,27 @@ CONFIGS = [
     dict(name="ecoli_4.6Mbp_dna", kind="dna", n=4_600_000, nq=524_288, qlen=30, k=10, mark=1),
     dict(name="chr20_64Mbp_dna", kind="dna", n=64_000_000, nq=524_288, qlen=30, k=13, mark=1),
     dict(name="swissprot_20Mres_amino", kind="amino", n=20_000_000, nq=262_144, qlen=12, k=5, mark=1),
-    # Repetitive-text config (round-2 verdict task 6): ~35% of the text is
-    # mutated copies of a small repeat family (Alu-like), so text-drawn
-    # 30-mers have a heavy-tailed hit distribution - wide lanes, re-dispatch
-    # and the over-cap walk all run INSIDE the measured time (uniform-random
-    # text never fires them).  Rates are recorded in the result.
-    dict(name="chr1rep_250Mbp_dna", kind="dna_repetitive", n=250_000_000, nq=524_288,
-         qlen=30, k=13, mark=1),
     # GRCh38: 512k batches - 131k requests over a 12M-block index are too
     # sparse for the window sweep (spans exceed the VMEM window cap); at
     # 512k the seed/rank/backstep sweeps engage.  (The final mark-rank SA
     # read stays a plain element gather: a 3.1 GB sa_sweep copy would not
     # fit HBM.)
     dict(name="grch38_3.1Gbp_dna", kind="dna", n=3_100_000_000, nq=524_288, qlen=100, k=13, mark=4),
+    # Repetitive-text config (round-2 verdict task 6): ~35% of the text is
+    # mutated copies of a small repeat family (Alu-like), so text-drawn
+    # 30-mers have a heavy-tailed hit distribution (~159 hits/query) - wide
+    # lanes, re-dispatch and the over-cap walk all run INSIDE the measured
+    # time (uniform-random text never fires them).  Rates are recorded in
+    # the result.  Exact full locate moves ~333 MB of positions per 512k
+    # batch; through this rig's ~26 MB/s relay that transfer IS the batch
+    # time (locations_per_sec is the honest rate; device q/s isolates the
+    # chip) - so it runs with a trimmed batch/trial budget, after every
+    # uniform-text config.
+    dict(name="chr1rep_250Mbp_dna", kind="dna_repetitive", n=250_000_000, nq=524_288,
+         qlen=30, k=13, mark=1, batches=2, trials=2,
+         note="exact full locate: ~159 hits/query; e2e bound by the "
+              "~26 MB/s host relay moving ~333 MB of positions per batch "
+              "(locations_per_sec and device q/s isolate the engine)"),
     # Pan-genome (BASELINE.json config #5): >10 Gbp federated across 4
     # partitions (PartitionedFmIndex, exact overlap-tail semantics), all
     # four served from ONE chip here (deployments place partitions on their
@@ -407,8 +415,10 @@ def run_config(cfg):
 
 
 def _run_config_inner(cfg, rng, seq, index, engine, build_s):
+    num_batches = cfg.get("batches", NUM_BATCHES)
+    trials = cfg.get("trials", TRIALS)
     batches, batch_queries = [], []
-    for _ in range(NUM_BATCHES):
+    for _ in range(num_batches):
         starts = rng.integers(0, cfg["n"] - cfg["qlen"], size=cfg["nq"])
         queries = [seq[s : s + cfg["qlen"]] for s in starts]
         qsyms, qlens = engine.encode_queries(queries)
@@ -432,22 +442,22 @@ def _run_config_inner(cfg, rng, seq, index, engine, build_s):
     for k in engine.stats:
         engine.stats[k] = 0
     best_qps, best_ms, best_hps, total_hits = 0.0, 0.0, 0.0, 0
-    for trial in range(TRIALS):
+    for trial in range(trials):
         t0 = time.perf_counter()
         total_hits = 0
         for _counts, _si, _loc, offs in engine.count_locate_stream(batches, cap=LOCATE_CAP):
             total_hits += int(offs[-1])
         dt = time.perf_counter() - t0
-        qps = NUM_BATCHES * cfg["nq"] / dt
+        qps = num_batches * cfg["nq"] / dt
         if qps > best_qps:
-            best_qps, best_ms = qps, dt / NUM_BATCHES * 1e3
+            best_qps, best_ms = qps, dt / num_batches * 1e3
         # Locations/sec: the fairer rate on repetitive texts, where exact
         # full locate returns ~100+ hits/query (chr1rep: ~159) and the
         # position volume, not the query count, is the work.
         best_hps = max(best_hps, total_hits / dt)
         log(f"[{cfg['name']}] trial {trial}: {qps:,.0f} q/s sustained "
-            f"({dt/NUM_BATCHES*1e3:.1f} ms/batch of {cfg['nq']}, "
-            f"{total_hits/NUM_BATCHES/cfg['nq']:.1f} hits/q)")
+            f"({dt/num_batches*1e3:.1f} ms/batch of {cfg['nq']}, "
+            f"{total_hits/num_batches/cfg['nq']:.1f} hits/q)")
 
     stats = dict(engine.stats)
 
@@ -467,7 +477,7 @@ def _run_config_inner(cfg, rng, seq, index, engine, build_s):
         "kmer_len": cfg["k"],
         "locate_cap": LOCATE_CAP,
         "api": "count_locate_stream",
-        "hits_per_query": round(total_hits / (NUM_BATCHES * cfg["nq"]), 2),
+        "hits_per_query": round(total_hits / (num_batches * cfg["nq"]), 2),
         "locations_per_sec": round(best_hps, 1),
     }
     if stats["queries"]:
@@ -482,6 +492,8 @@ def _run_config_inner(cfg, rng, seq, index, engine, build_s):
         log(f"[{cfg['name']}] serving shape: {result['serving_shape']}")
     if build_s is not None:
         result["build_seconds"] = round(build_s, 1)
+    if "note" in cfg:
+        result["note"] = cfg["note"]
     return result
 
 
@@ -505,7 +517,7 @@ def main() -> None:
     # The pan-genome config only STARTS if enough driver budget remains
     # (loading + uploading a 13 GB federation through the relay takes
     # minutes; a timeout mid-config wastes what a skip would have kept).
-    pan_deadline = t_start + float(os.environ.get("AWRY_BENCH_PAN_DEADLINE_S", "2100"))
+    pan_deadline = t_start + float(os.environ.get("AWRY_BENCH_PAN_DEADLINE_S", "2700"))
     for cfg in CONFIGS:
         if only and cfg["name"] not in only:
             continue
