@@ -20,7 +20,6 @@ import numpy as np
 _log = logging.getLogger("awry_tpu.build")
 
 from ..alphabet import Alphabet, encode_ascii, index_to_code_table
-from ..host_engine import populate_kmer_table
 from ..index import SYMBOLS_PER_BLOCK, WORDS_PER_WINDOW, FmBuildArgs, FmIndexData
 from ..io.sequence_io import SequenceData, concat_records, read_sequence_file
 from .suffix_array import build_suffix_array
@@ -213,7 +212,15 @@ def build_from_sequence_data(seq_data: SequenceData, args: FmBuildArgs) -> FmInd
             to_device(index, minimal=True), kmer_len
         )
     else:
-        index.kmer_table = populate_kmer_table(index)
+        # Counting construction straight from the text: O(N*k + base**k)
+        # host bincounts, bit-identical to the BFS range-update builders
+        # (tests/test_kmer_count.py) and ~30x faster at genome scale (the
+        # k=14 chr1 table dropped from 449 s of device range updates to
+        # ~15 s).  The BFS paths remain for callers that only hold the BWT
+        # (io/awry_format.py table reconstruction).
+        from .kmer_count import populate_kmer_table_counting
+
+        index.kmer_table = populate_kmer_table_counting(text_syms, alphabet, kmer_len)
     phase("kmer table")
     index.validate()
     phase("validate")

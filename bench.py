@@ -245,7 +245,9 @@ def build_or_load(cfg, seq: bytes):
             alphabet=alphabet,
             suffix_array_compression_ratio=SA_RATIO,
             lookup_table_kmer_len=cfg["k"],
-            build_kmer_table_on_device=cfg["k"] >= 12,
+            # Counting construction (build/kmer_count.py): the k=14 chr1
+            # table in ~15 s host-side vs 449 s of device range updates.
+            build_kmer_table_on_device=False,
             locate_mark_ratio=cfg["mark"],
             # SA sidecar: a build interrupted after SA-IS (driver timeout,
             # OOM in a later phase) resumes without redoing the ~10-min sort.
