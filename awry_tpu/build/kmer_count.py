@@ -12,7 +12,7 @@ in host_engine.populate_kmer_table / ops.kmer.populate_kmer_table_device),
 the table can be built directly from the text by a radix histogram:
 
   1. cnt[a]  = #windows of k encoding symbols with dense address a
-               (one O(N*k) rolling-address pass + one bincount);
+               (O(log k) doubling multiply-add passes + one bincount);
   2. every remaining suffix (window containing the ambiguity symbol or
      reaching the final virtual sentinel) contributes +1 to start(a) for all
      a ABOVE its lexicographic insert point.  The insert point depends only
@@ -43,6 +43,35 @@ from ..alphabet import Alphabet, index_to_dense_table
 _INVALID_CHUNK = 1 << 24
 
 
+def _window_addresses(dense: np.ndarray, k: int, b: int) -> np.ndarray:
+    """Base-``b`` address of every k-symbol window: ``addr[i] = sum_j
+    dense[i+j] * b**(k-1-j)``, valid wherever all k digits are >= 0 (lanes
+    with a negative digit hold wrapped garbage; the caller masks them).
+
+    O(log k) whole-array multiply-add passes via width doubling
+    (addr_{2m}[i] = addr_m[i] * b**m + addr_m[i+m]) instead of the O(k)
+    per-digit loop — the difference between ~440 s and a few seconds at
+    250M symbols, k=14 (round-3 VERDICT task 1).  uint32 is always wide
+    enough: the table is materialized at 8-16 B/entry, so b**k >= 2**32
+    could never be built anyway (asserted by the caller).
+    """
+    L = dense.shape[0]
+    d1 = dense.astype(np.uint32)  # -1 digits wrap; masked by the caller
+    cur, m = d1, 1
+    for bit in bin(k)[3:]:  # binary expansion below the MSB
+        p = np.uint32(b) ** np.uint32(m)
+        nlen = L - 2 * m + 1
+        nxt = cur[:nlen] * p
+        nxt += cur[m : m + nlen]
+        cur, m = nxt, 2 * m
+        if bit == "1":
+            nlen = L - m
+            nxt = cur[:nlen] * np.uint32(b)
+            nxt += d1[m : m + nlen]
+            cur, m = nxt, m + 1
+    return cur
+
+
 def populate_kmer_table_counting(
     text_syms: np.ndarray, alphabet: Alphabet, k: int
 ) -> np.ndarray:
@@ -50,14 +79,17 @@ def populate_kmer_table_counting(
 
     ``text_syms``: uint8 symbol indices of the concatenated text (no
     sentinel; record delimiters are ambiguity symbols per
-    io/sequence_io.concat_records).  Returns uint64[base**k, 2] bit-identical
-    to host_engine.populate_kmer_table(index).
+    io/sequence_io.concat_records).  Returns [base**k, 2] ranges bit-identical
+    to host_engine.populate_kmer_table(index); dtype uint32 when every row
+    index fits (bwt_len <= 2**32, the common case — halves the table's host
+    memory, artifact size and load time), else uint64.
     """
     if k == 0:  # table disabled: single canonical-empty entry, never read
         return np.array([[1, 0]], dtype=np.uint64)
     b = alphabet.num_encoding_symbols
     n = int(text_syms.shape[0])
     total = b**k
+    assert total < 1 << 32, "b**k table would exceed addressable/host memory"
     dense_tab = index_to_dense_table(alphabet)
     # rank_above: #encoding symbols whose raw index sorts below the ambiguity
     # symbol (A,C,G for nucleotide N; 19 aminos below X).
@@ -72,44 +104,35 @@ def populate_kmer_table_counting(
     dense = np.full(n + k, -1, dtype=np.int8)
     dense[:n] = dense_tab[text_syms]
     bad = dense < 0
+    any_bad_text = bool(bad[:n].any())
 
-    # --- valid windows: rolling base-b address + histogram ------------------
+    # --- valid windows: doubling-pass addresses -----------------------------
     # Window starts [0, n-k] whose k digits are all encoding symbols.
-    cnt = np.zeros(total, dtype=np.int64)
     n_starts = n - k + 1  # window starts fully inside the text
     m_invalid_text = 0
     if n_starts > 0:
-        badcum = np.zeros(n + k + 1, dtype=np.int64)
-        np.cumsum(bad, out=badcum[1:])
-        valid = (badcum[k : n_starts + k] - badcum[:n_starts]) == 0
-        # Rolling address in int64: addr[i] = sum_j dense[i+j] * b**(k-1-j).
-        weights = b ** np.arange(k - 1, -1, -1, dtype=np.int64)
-        chunk = max(1 << 26, k)
-        for lo in range(0, n_starts, chunk):
-            hi = min(lo + chunk, n_starts)
-            v = valid[lo:hi]
-            if not v.any():
-                m_invalid_text += hi - lo
-                continue
-            addr = np.zeros(hi - lo, dtype=np.int64)
-            for j in range(k):
-                # digits are >= 0 on valid windows; invalid lanes are garbage
-                # and masked out before the bincount.
-                np.add(addr, dense[lo + j : hi + j] * weights[j], out=addr)
-            cnt += np.bincount(addr[v], minlength=total)
-            m_invalid_text += int((~v).sum())
+        addr = _window_addresses(dense, k, b)[:n_starts]
+        if any_bad_text:
+            badcum = np.zeros(n + k + 1, dtype=np.int64)
+            np.cumsum(bad, out=badcum[1:])
+            valid = (badcum[k : n_starts + k] - badcum[:n_starts]) == 0
+            m_invalid_text = int(n_starts - valid.sum())
+            if m_invalid_text:
+                addr = addr[valid]
+        else:
+            valid = None  # all-valid: skip the mask copy entirely
     else:
         valid = np.zeros(0, dtype=bool)
+        addr = np.zeros(0, dtype=np.uint32)
 
     # --- invalid windows: lexicographic insert points ------------------------
     # Every suffix of the bwt text not counted above: window starts in
     # [0, n-k] with an ambiguity digit, plus all starts in (n-k, n] (they
     # reach the virtual sentinel at position n).  Their contribution to
     # start(a) is +1 for every a >= their insert point.
-    inv_hist = np.zeros(total + 1, dtype=np.int64)
     n_tail = n + 1 - max(n_starts, 0)  # starts in (n-k, n]
     m = m_invalid_text + n_tail
-
+    insert_parts = []
     if m:
         if m_invalid_text:
             inv_starts_text = np.flatnonzero(~valid)
@@ -136,19 +159,36 @@ def populate_kmer_table_counting(
             # weight of digit t is b**(j-1-t): scale the fixed k-digit weights
             # down by b**(k-j).
             prefix = (masked * pow_b[k - 1 :: -1][None, :]).sum(axis=1) // pow_b[k - j]
-            insert = (prefix * b + rank) * pow_b[k - 1 - j]
-            inv_hist += np.bincount(insert, minlength=total + 1)
+            insert_parts.append((prefix * b + rank) * pow_b[k - 1 - j])
+    inserts = (
+        np.sort(np.concatenate(insert_parts)) if insert_parts else np.zeros(0, dtype=np.int64)
+    )
+    assert addr.shape[0] + m == n + 1, "every suffix must be counted exactly once"
 
     # --- assemble -------------------------------------------------------------
-    assert int(cnt.sum()) + m == n + 1, "every suffix must be counted exactly once"
+    # uint32 whenever every row index fits (bwt_len = n+1 <= 2**32): half the
+    # host memory / artifact bytes / load time of the dominant component.
+    if n + 1 <= (1 << 32):
+        from .suffix_array import kmer_assemble_native
+
+        # Fused native histogram + scan + fill (one uint32 count bin + the
+        # output per table entry: NumPy's bincount/cumsum/mask pipeline
+        # first-touches ~5x the bytes, minutes at k=14 on fault-bound hosts).
+        table = kmer_assemble_native(addr, inserts, total)
+        if table is not None:
+            return table
+
+    cnt = np.bincount(addr, minlength=total) if addr.shape[0] else np.zeros(total, dtype=np.int64)
+    inv_hist = np.bincount(inserts, minlength=total + 1) if m else np.zeros(total + 1, dtype=np.int64)
     starts = np.zeros(total, dtype=np.int64)
     np.cumsum(cnt[:-1], out=starts[1:])  # exclusive cumsum of bucket sizes
     starts += np.cumsum(inv_hist[:total])  # inserts at <= a shift start(a) up
     ends = starts + cnt - 1
 
-    table = np.empty((total, 2), dtype=np.uint64)
-    table[:, 0] = starts.astype(np.uint64)
-    table[:, 1] = ends.astype(np.uint64)
+    dtype = np.uint32 if n + 1 <= (1 << 32) else np.uint64
+    table = np.empty((total, 2), dtype=dtype)
+    table[:, 0] = starts.astype(dtype)
+    table[:, 1] = ends.astype(dtype)
     empty = cnt == 0
     table[empty, 0] = 1  # canonical empty range (src/search.rs:51-56)
     table[empty, 1] = 0

@@ -67,6 +67,15 @@ def _load_native():
                 ctypes.c_int64,
                 ctypes.c_int64,
             ]
+            lib.awry_kmer_assemble_u32.restype = ctypes.c_int
+            lib.awry_kmer_assemble_u32.argtypes = [
+                ctypes.POINTER(ctypes.c_uint32),
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_uint32),
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_uint32),
+                ctypes.c_int64,
+            ]
             lib.awry_sais_i32.restype = ctypes.c_int
             lib.awry_sais_i32.argtypes = [
                 ctypes.POINTER(ctypes.c_uint8),
@@ -192,6 +201,32 @@ def gather_rows_u32(src: np.ndarray, idx: np.ndarray) -> np.ndarray:
         ctypes.c_int64(src.shape[1]),
     )
     return dst
+
+
+def kmer_assemble_native(
+    addr: np.ndarray, inserts: np.ndarray, total: int
+) -> np.ndarray | None:
+    """Fused histogram + scan + seed-table fill (native; see
+    awry_kmer_assemble_u32).  Returns uint32[total, 2] or None when the
+    native library is unavailable (caller falls back to the NumPy pipeline).
+    ``inserts`` must be SORTED ascending."""
+    lib = _load_native()
+    if lib is None:
+        return None
+    addr = np.ascontiguousarray(addr, dtype=np.uint32)
+    inserts = np.ascontiguousarray(inserts, dtype=np.uint32)
+    table = np.empty((total, 2), dtype=np.uint32)
+    rc = lib.awry_kmer_assemble_u32(
+        addr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        ctypes.c_int64(addr.shape[0]),
+        inserts.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        ctypes.c_int64(inserts.shape[0]),
+        table.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        ctypes.c_int64(total),
+    )
+    if rc != 0:
+        raise RuntimeError(f"native kmer assemble failed with code {rc}")
+    return table
 
 
 def gather_u8(src: np.ndarray, idx: np.ndarray) -> np.ndarray:

@@ -100,7 +100,7 @@ class FmIndexData:
     sampled_sa: np.ndarray  # uint64 [ceil(bwt_len / sa_ratio)]
     sa_ratio: int
     bwt_len: int
-    kmer_table: np.ndarray  # uint64 [base**kmer_len, 2]
+    kmer_table: np.ndarray  # uint32|uint64 [base**kmer_len, 2] (u32 iff bwt_len fits)
     kmer_len: int
     seq_starts: np.ndarray  # int64 [num_records]
     headers: list[str]

@@ -346,6 +346,83 @@ int awry_gather_rows_u32(const uint32_t* src, const uint32_t* idx, uint32_t* dst
   return 0;
 }
 
+// K-mer seed-table assembly from window addresses (build/kmer_count.py).
+// addr: base-b addresses of the valid k-symbol windows (one per counted
+// suffix); inserts: SORTED lexicographic insert points of the remaining
+// suffixes (ambiguity/sentinel windows).  Fills table[a] = {start, end}
+// where start(a) = #{addr < a} + #{inserts <= a} and end = start + cnt - 1,
+// with the canonical empty range {1, 0} (reference: src/search.rs:51-56).
+//
+// NumPy's pipeline for the same job (bincount -> int64 cumsum -> fancy-mask
+// fixups) allocates three 8 B/bin temporaries and first-touches ~10 GB at
+// k=14 — minutes on this host's fault-bound pages; here one shared uint32
+// histogram (atomic increments; collisions are ~nil over b^k bins) and one
+// fused scan+fill pass touch 2x4 B/bin total.
+int awry_kmer_assemble_u32(const uint32_t* addr, int64_t n_addr,
+                           const uint32_t* inserts, int64_t n_inserts,
+                           uint32_t* table, int64_t total) {
+  std::vector<uint32_t> cnt((size_t)total);  // zero-initialized
+  advise_huge(cnt.data(), (size_t)total * 4);
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n_addr; ++i) {
+    uint32_t a = addr[i];
+    if ((int64_t)a < total) {
+#pragma omp atomic
+      cnt[a]++;
+    }
+  }
+  // Per-thread ranges: base = suffixes strictly below the range (cnt sum +
+  // inserts), then a sequential scan+fill inside each range.
+  int nt = 1;
+#ifdef _OPENMP
+  nt = omp_get_max_threads();
+#endif
+  std::vector<uint64_t> base((size_t)nt + 1, 0);
+  int64_t step = (total + nt - 1) / nt;
+#pragma omp parallel num_threads(nt)
+  {
+#ifdef _OPENMP
+    int t = omp_get_thread_num();
+#else
+    int t = 0;
+#endif
+    int64_t lo = t * step, hi = lo + step < total ? lo + step : total;
+    uint64_t s = 0;
+    for (int64_t a = lo; a < hi; ++a) s += cnt[a];
+    base[t + 1] = s;
+#pragma omp barrier
+#pragma omp single
+    {
+      for (int i = 0; i < nt; ++i) base[i + 1] += base[i];
+    }
+    // #{inserts <= a} via a pointer walk from lower_bound(lo).
+    int64_t ip = 0;
+    {
+      int64_t l = 0, r = n_inserts;
+      while (l < r) {
+        int64_t m = (l + r) / 2;
+        if ((int64_t)inserts[m] < lo) l = m + 1; else r = m;
+      }
+      ip = l;
+    }
+    uint64_t run = base[t];
+    for (int64_t a = lo; a < hi; ++a) {
+      while (ip < n_inserts && (int64_t)inserts[ip] <= a) ++ip;
+      uint32_t c = cnt[a];
+      uint64_t start = run + (uint64_t)ip;
+      if (c) {
+        table[2 * a] = (uint32_t)start;
+        table[2 * a + 1] = (uint32_t)(start + c - 1);
+      } else {
+        table[2 * a] = 1;
+        table[2 * a + 1] = 0;
+      }
+      run += c;
+    }
+  }
+  return 0;
+}
+
 // Returns 0 on success. text[n-1] must be the unique smallest byte.
 int awry_sais_i32(const uint8_t* text, int32_t n, int32_t* sa) {
   if (n <= 0) return -1;
