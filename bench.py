@@ -143,11 +143,31 @@ def _make_payload(results: list[dict], partial: bool) -> dict:
     return payload
 
 
+def _merge_previous(results: list[dict]) -> list[dict]:
+    """Carry forward configs the current run has not (re)measured: an
+    interrupted run must never erase the last full matrix (round-3 verdict
+    task 7 — commit 30e517c had to hand-restore exactly this).  Rows kept
+    from the previous file are tagged "carried_from_previous_run"."""
+    try:
+        with open(_RESULTS_PATH) as f:
+            prev = {r.get("config"): r for r in json.load(f).get("configs", [])}
+    except (OSError, ValueError):
+        return results
+    done = {r.get("config") for r in results}
+    carried = []
+    for name, row in prev.items():
+        if name not in done and ("queries_per_sec" in row or "error" in row):
+            row = dict(row)
+            row["carried_from_previous_run"] = True
+            carried.append(row)
+    return results + carried
+
+
 def _checkpoint(results: list[dict], partial: bool = True) -> None:
     """Rewrite bench_results.json NOW (after every config): a driver timeout
     must still leave a parsed headline on disk."""
     global _payload
-    _payload = _make_payload(results, partial)
+    _payload = _make_payload(_merge_previous(results), partial)
     tmp = _RESULTS_PATH + ".tmp"
     with open(tmp, "w") as f:
         json.dump(_payload, f, indent=2)
