@@ -425,7 +425,13 @@ def count_locate_slots_t(
     jslot = jnp.arange(WIDE_CAP, dtype=jnp.uint32)
     fits = long_enough & (width >= 1) & (width <= WIDE_CAP)
     slot_valid = fits[:, None] & (jslot[None, :] < width[:, None])  # [B, CAP]
-    slot_rows = jnp.where(slot_valid, starts[:, None] + jslot[None, :], jnp.uint32(0))
+    # Invalid slots DUPLICATE the lane's last valid row instead of pointing
+    # at row 0: the sweep sorts requests by position, so duplicates ride the
+    # same window for free, while a ~75% pile-up at row 0 makes the real
+    # requests look 4x sparser than the coverage estimator assumes (the
+    # round-3 all-redis failure mode).
+    jclip = jnp.minimum(jslot[None, :], jnp.maximum(width, jnp.uint32(1))[:, None] - 1)
+    slot_rows = starts[:, None] + jclip
 
     from .sweep import (
         _auto_interpret,

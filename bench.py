@@ -40,11 +40,28 @@ import time
 
 import numpy as np
 
-# Estimated AWRY 32-thread CPU count+locate throughput (AvxWindowFMIndex-class
-# engines: ~50-100 ns per cache-missing rank, 2 ranks/symbol, ~20 post-seed
-# symbols per 30 bp query, plus the locate LF-walk; imperfect 32-thread
-# scaling, memory-bound; see BASELINE.md).
+# AWRY 32-thread CPU count+locate throughput: the vs_baseline denominator.
+# Measured when BASELINE_CPU.json exists (scripts/dump_cpu_ref.py runs the
+# reference's hot path — AVX2 windowed rank, full backward search,
+# row-sampled locate walk — reimplemented at instruction level on this
+# host's cores and scaled to 32 threads); estimate otherwise (~50-100 ns
+# per cache-missing rank, 2 ranks/symbol, 30 symbols + locate walk per
+# query; see BASELINE.md).
 AWRY_32T_ESTIMATE_QPS = 5.0e6
+
+
+def _baseline_qps() -> tuple[float, str]:
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BASELINE_CPU.json")) as f:
+            m = json.load(f)
+        per_thread = m["queries_per_sec"] / m["threads"]
+        return per_thread * 32, (
+            f"measured {m['queries_per_sec']:.0f} q/s on {m['threads']} host "
+            "threads (scripts/dump_cpu_ref.py), scaled to the 32-thread target"
+        )
+    except (OSError, ValueError, KeyError, ZeroDivisionError):
+        return AWRY_32T_ESTIMATE_QPS, "estimate (BASELINE.md); BASELINE_CPU.json absent"
 
 CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
 
@@ -130,11 +147,14 @@ def _make_payload(results: list[dict], partial: bool) -> dict:
         None,
     )
     value = headline["queries_per_sec"] if headline else 0.0
+    base_qps, base_src = _baseline_qps()
     payload = {
         "metric": HEADLINE_METRIC,
         "value": value,
         "unit": "queries/s",
-        "vs_baseline": round(value / AWRY_32T_ESTIMATE_QPS, 4),
+        "vs_baseline": round(value / base_qps, 4),
+        "baseline_qps": round(base_qps, 1),
+        "baseline_source": base_src,
         "api": "public count_locate_stream (encode + localize + ragged assembly included)",
         "configs": results,
     }
