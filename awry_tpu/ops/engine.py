@@ -135,6 +135,7 @@ class FmQueryEngine:
         strict: bool = False,
         mesh=None,
         lean: bool = False,
+        wide: bool | None = None,
     ):
         """``strict=True`` is the debug/sanitizer mode (SURVEY.md section 5):
         host indexes are value-validated before shipping, and pre-encoded
@@ -190,6 +191,20 @@ class FmQueryEngine:
         # dispatch mid-assembly (measured ~65 ms/batch pipeline stall +
         # a multi-second first-bucket compile through the relay).
         self._host_index = index if isinstance(index, FmIndexData) else None
+        # 64-bit ("wide") regime: single texts past uint32 positions serve
+        # through ops/wide.py (u64 milestones/positions, plain gathers, no
+        # sweep/verify layouts) — the reference's u64 capability
+        # (src/search.rs:7) without forcing every fast path to 64-bit.
+        # `wide` overrides the automatic bwt_len threshold (tests force the
+        # 64-bit path on small indexes; benchmarks can A/B it).
+        self._wide = (
+            wide
+            if wide is not None and isinstance(index, FmIndexData)
+            else isinstance(index, FmIndexData) and index.bwt_len >= 2**32
+        )
+        if self._wide:
+            use_sweep = False
+            use_verify = False
         if isinstance(index, FmIndexData):
             if strict:
                 index.validate(strict=True)
@@ -207,9 +222,19 @@ class FmQueryEngine:
                 from jax.sharding import NamedSharding, PartitionSpec
 
                 replicate = NamedSharding(mesh, PartitionSpec())
-            self.device_index = to_device(
-                index, build_sweep=use_sweep, sharding=replicate, lean=lean
-            )
+            if self._wide:
+                if mesh is not None:
+                    raise NotImplementedError(
+                        "wide (>4 Gbp) indexes serve single-device; use "
+                        "PartitionedFmIndex for multi-device federation"
+                    )
+                from .wide import to_device_wide
+
+                self.device_index = to_device_wide(index)
+            else:
+                self.device_index = to_device(
+                    index, build_sweep=use_sweep, sharding=replicate, lean=lean
+                )
         else:
             self.device_index = index
         from ..alphabet import index_to_dense_table
@@ -317,15 +342,42 @@ class FmQueryEngine:
         # sorted sweep; the round-1 per-row Pallas paths (rank_pallas,
         # gather_pallas) were deleted after the sweep kernel beat them 7.5x
         # (BASELINE.md round-2 measurements).
-        from .search import count_batch_kernel_t, search_ranges_t
+        if self._wide:
+            from .wide import (
+                count_batch_wide,
+                count_locate_capped_wide,
+                lf_walk_wide,
+                search_ranges_wide,
+            )
 
-        self._count_fn = jit_kernel(wrap(count_batch_kernel_t), dp)
-        self._ranges_fn = jit_kernel(wrap(search_ranges_t), (dp, dp))
-        self._walk_fn = jit_kernel(lf_walk, dp)
-        self._expand_walk_fn = jax.jit(_expand_walk, static_argnames=("slab",))
-        self._count_locate_fn = jit_kernel(
-            wrap(count_locate_capped_t), (dp, dp, dp, dp), static=("cap",)
-        )
+            def x64_jit(fn, static=()):
+                jitted = jax.jit(fn, static_argnames=static)
+
+                def call(*a, **kw):
+                    from jax import enable_x64
+
+                    with enable_x64():
+                        return jitted(*a, **kw)
+
+                return call
+
+            self._count_fn = x64_jit(wrap(count_batch_wide))
+            self._ranges_fn = x64_jit(wrap(search_ranges_wide))
+            self._walk_fn = x64_jit(lf_walk_wide)
+            self._expand_walk_fn = None  # wide over-cap walks expand host-side
+            self._count_locate_fn = x64_jit(
+                wrap(count_locate_capped_wide), static=("cap",)
+            )
+        else:
+            from .search import count_batch_kernel_t, search_ranges_t
+
+            self._count_fn = jit_kernel(wrap(count_batch_kernel_t), dp)
+            self._ranges_fn = jit_kernel(wrap(search_ranges_t), (dp, dp))
+            self._walk_fn = jit_kernel(lf_walk, dp)
+            self._expand_walk_fn = jax.jit(_expand_walk, static_argnames=("slab",))
+            self._count_locate_fn = jit_kernel(
+                wrap(count_locate_capped_t), (dp, dp, dp, dp), static=("cap",)
+            )
         self._seq_starts_host = np.asarray(self.device_index.seq_starts).astype(np.int64)
 
         # Seed-walk-verify serving path (ops/verify.py): the default fused
@@ -672,7 +724,7 @@ class FmQueryEngine:
             # program per pow2 bucket).  Full slabs share ONE compiled shape.
             slab = _OVERCAP_WALK_SLAB
             slab_starts = range(0, o_total, slab)
-            if self._mesh is None and o_total + slab < 2**31:
+            if not self._wide and self._mesh is None and o_total + slab < 2**31:
                 # Expansion computed on device from the (start, cum) pairs
                 # (_expand_walk); every slab dispatches ASYNC before the
                 # first result is pulled, so the device pipelines the walks
@@ -699,16 +751,20 @@ class FmQueryEngine:
                 # Data-sharded engines keep the host-expanded upload (the
                 # expansion would need a shard_map variant); batches this
                 # path serves are bounded by the mesh serving shape anyway.
-                all_rows = (np.repeat(o_starts, o_counts) + o_within).astype(np.uint32)
+                row_dtype = np.uint64 if self._wide else np.uint32
+                all_rows = (np.repeat(o_starts, o_counts) + o_within).astype(row_dtype)
                 for s0 in slab_starts:
                     chunk = all_rows[s0 : s0 + slab]
                     m = chunk.shape[0]
                     rows = np.zeros(
                         min(slab, _bucket(m, minimum=max(16, self._data_shards))),
-                        dtype=np.uint32,
+                        dtype=row_dtype,
                     )
                     rows[:m] = chunk
-                    walked = np.asarray(self._walk_fn(self.device_index, jnp.asarray(rows)))[:m]
+                    # np array passed straight to the jitted walk: the wide
+                    # path converts INSIDE its enable_x64 scope (a jnp
+                    # conversion here would silently truncate u64 rows).
+                    walked = np.asarray(self._walk_fn(self.device_index, rows))[:m]
                     flat_pos[dst[s0 : s0 + m]] = walked.astype(np.int64)
         return flat_pos
 
@@ -884,6 +940,23 @@ class FmQueryEngine:
             classic_digest_k = self._jit_kernel(_cd, _P(), static=("cap",))
             verify_digest = lambda idx, qs, ql, s: verify_digest_k(idx, qs, ql, s=s)  # noqa: E731
             classic_digest = lambda idx, qs, ql, cap: classic_digest_k(idx, qs, ql, cap=cap)  # noqa: E731
+        elif self._wide:
+            from jax import enable_x64
+
+            from .wide import count_locate_capped_wide
+
+            wjit = jax.jit(
+                lambda idx, qs, ql, cap: _reduce(
+                    wrap(count_locate_capped_wide)(idx, qs, ql, cap=cap)
+                ),
+                static_argnames=("cap",),
+            )
+
+            def classic_digest(idx, qs, ql, cap):
+                with enable_x64():
+                    return wjit(idx, qs, ql, cap)
+
+            verify_digest = None  # _use_verify_for is always False when wide
         else:
             verify_digest = jax.jit(
                 lambda idx, qs, ql, s: _reduce(wrap(count_locate_verify_t)(idx, qs, ql, s=s)),
