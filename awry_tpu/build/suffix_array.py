@@ -67,6 +67,24 @@ def _load_native():
                 ctypes.c_int64,
                 ctypes.c_int64,
             ]
+            lib.awry_sweep_tiles_u32.restype = ctypes.c_int
+            lib.awry_sweep_tiles_u32.argtypes = [
+                ctypes.POINTER(ctypes.c_uint32),
+                ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_uint32),
+                ctypes.c_int64,
+            ]
+            lib.awry_fat_rows_u32.restype = ctypes.c_int
+            lib.awry_fat_rows_u32.argtypes = [
+                ctypes.POINTER(ctypes.c_uint32),
+                ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_uint32),
+                ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.c_int64,
+            ]
             lib.awry_kmer_assemble_u32.restype = ctypes.c_int
             lib.awry_kmer_assemble_u32.argtypes = [
                 ctypes.POINTER(ctypes.c_uint32),
@@ -184,15 +202,20 @@ def build_suffix_array(text: np.ndarray | bytes, *, force_fallback: bool = False
     return sa
 
 
-def gather_rows_u32(src: np.ndarray, idx: np.ndarray) -> np.ndarray:
+def gather_rows_u32(src: np.ndarray, idx: np.ndarray, pad_rows: int = 0) -> np.ndarray:
     """Parallel dst[i, :] = src[idx[i], :] for uint32 [N, W] tables (numpy
-    fancy indexing fallback when the native library is unavailable)."""
+    fancy indexing fallback when the native library is unavailable).
+    ``pad_rows`` appends that many ZERO rows to the result (callers that
+    need an 8-word-divisible flat view avoid a second multi-GB pad copy)."""
     src = np.ascontiguousarray(src, dtype=np.uint32)
     lib = _load_native()
     if lib is None:
-        return src[idx]
+        out = src[idx]
+        if pad_rows:
+            out = np.concatenate([out, np.zeros((pad_rows, src.shape[1]), np.uint32)])
+        return out
     idx = np.ascontiguousarray(idx, dtype=np.uint32)
-    dst = np.empty((idx.shape[0], src.shape[1]), dtype=np.uint32)
+    dst = np.zeros((idx.shape[0] + pad_rows, src.shape[1]), dtype=np.uint32)
     lib.awry_gather_rows_u32(
         src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
         idx.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
@@ -201,6 +224,47 @@ def gather_rows_u32(src: np.ndarray, idx: np.ndarray) -> np.ndarray:
         ctypes.c_int64(src.shape[1]),
     )
     return dst
+
+
+def sweep_tiles_native(rows: np.ndarray, nt: int) -> np.ndarray | None:
+    """[nrows, w] -> [nt, w, 128] transposed-per-tile sweep layout in one
+    parallel native pass (None when the native library is unavailable)."""
+    lib = _load_native()
+    if lib is None:
+        return None
+    rows = np.ascontiguousarray(rows, dtype=np.uint32)
+    w = rows.shape[1]
+    out = np.empty((nt, w, 128), dtype=np.uint32)
+    lib.awry_sweep_tiles_u32(
+        rows.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        ctypes.c_int64(rows.shape[0]),
+        ctypes.c_int64(w),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        ctypes.c_int64(nt),
+    )
+    return out
+
+
+def fat_rows_native(
+    text_packed: np.ndarray, n_text: int, bits: int, n_all: int, row_words: int, w: int
+) -> np.ndarray | None:
+    """Text-order slot fat rows (see native awry_fat_rows_u32); None when
+    the native library is unavailable."""
+    lib = _load_native()
+    if lib is None:
+        return None
+    tp = np.ascontiguousarray(text_packed, dtype=np.uint32)
+    g = np.empty((n_all, row_words), dtype=np.uint32)
+    lib.awry_fat_rows_u32(
+        tp.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        ctypes.c_int64(n_text),
+        ctypes.c_int64(bits),
+        g.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        ctypes.c_int64(n_all),
+        ctypes.c_int64(row_words),
+        ctypes.c_int64(w),
+    )
+    return g
 
 
 def kmer_assemble_native(

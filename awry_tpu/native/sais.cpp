@@ -423,6 +423,58 @@ int awry_kmer_assemble_u32(const uint32_t* addr, int64_t n_addr,
   return 0;
 }
 
+// Sweep-layout transpose (ops/sweep.py build_sweep_blocks): [nrows, w] rows
+// -> [nt, w, 128] transposed-per-128-row tiles, zero-padded past nrows.
+// NumPy's reshape/transpose/ascontiguousarray pipeline first-touches the
+// multi-GB output twice; this is one parallel pass.
+int awry_sweep_tiles_u32(const uint32_t* rows, int64_t nrows, int64_t w,
+                         uint32_t* out, int64_t nt) {
+#pragma omp parallel for schedule(static)
+  for (int64_t t = 0; t < nt; ++t) {
+    uint32_t* tile = out + t * w * 128;
+    for (int64_t j = 0; j < 128; ++j) {
+      int64_t r = t * 128 + j;
+      if (r < nrows) {
+        const uint32_t* src = rows + r * w;
+        for (int64_t i = 0; i < w; ++i) tile[i * 128 + j] = src[i];
+      } else {
+        for (int64_t i = 0; i < w; ++i) tile[i * 128 + j] = 0;
+      }
+    }
+  }
+  return 0;
+}
+
+// Slot fat-row packing (ops/device_index._build_verify_windows, text-order
+// stage): g[p, i] = packed window of symbols at positions p-1-spw*i-t for
+// t in [0, spw), g[p, w] = p.  `tp` is the 4/8-bit packed text
+// (io layout: little-endian within u32 words); one parallel pass replaces
+// w*spw strided NumPy read-modify-write sweeps over the 4 GB output.
+int awry_fat_rows_u32(const uint32_t* tp, int64_t n_text, int64_t bits,
+                      uint32_t* g, int64_t n_all, int64_t row_words,
+                      int64_t w) {
+  const int64_t spw = 32 / bits;
+  const uint32_t sym_mask = (uint32_t)((1u << bits) - 1u);
+#pragma omp parallel for schedule(static)
+  for (int64_t p = 0; p < n_all; ++p) {
+    uint32_t* row = g + p * row_words;
+    for (int64_t i = 0; i < w; ++i) {
+      uint32_t acc = 0;
+      for (int64_t t = 0; t < spw; ++t) {
+        int64_t q = p - 1 - spw * i - t;  // text position at that distance
+        if (q >= 0 && q < n_text) {
+          uint32_t sym = (tp[q / spw] >> (bits * (q % spw))) & sym_mask;
+          acc |= sym << (bits * t);
+        }
+      }
+      row[i] = acc;
+    }
+    for (int64_t i = w; i < row_words; ++i) row[i] = 0;
+    row[w] = (uint32_t)p;
+  }
+  return 0;
+}
+
 // Returns 0 on success. text[n-1] must be the unique smallest byte.
 int awry_sais_i32(const uint8_t* text, int32_t n, int32_t* sa) {
   if (n <= 0) return -1;

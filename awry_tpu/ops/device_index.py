@@ -10,11 +10,15 @@ parts"); beyond that the index must be range-sharded (awry_tpu/parallel).
 from __future__ import annotations
 
 import dataclasses
+import logging
+import time
 from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+_log = logging.getLogger("awry_tpu.ship")
 
 from ..alphabet import (
     Alphabet,
@@ -231,42 +235,44 @@ def _build_verify_windows(
         s = switch_step(index)
     w = _VERIFY_WINDOW_WORDS if row_words == 8 else row_words - 1
     n_rows = inv_sa.shape[0]
-
-    # Unpack the 4/8-bit packed text to one symbol per byte (little-endian
-    # within each uint32 word; index.py pack_text layout).
-    tp = index.text_packed.astype(np.uint32)
-    if bits == 4:
-        syms = np.zeros(tp.shape[0] * 8, dtype=np.uint8)
-        for t in range(8):
-            syms[t::8] = (tp >> (4 * t)) & 0xF
-    else:
-        syms = np.zeros(tp.shape[0] * 4, dtype=np.uint8)
-        for t in range(4):
-            syms[t::4] = (tp >> (8 * t)) & 0xFF
     n_text = index.bwt_len - 1  # text symbols (sentinel excluded)
-    syms = syms[:n_text]
+    n_all = index.bwt_len  # SA values p range over [0, bwt_len)
 
     # Build in TEXT order first: g[p, i] packs the symbols at positions
-    # p - 1 - spw*i - t, which are SHIFTED SLICES of the symbol array — no
-    # gathers in the 24-pass packing loop (the old per-row form did one
-    # random 250M-element gather per pass: ~6 min at chr1 scale).  One
-    # parallel row gather then permutes text order -> BWT-row order; the
-    # last column g[p, w] = p lands as the row's SA value for free.
-    n_all = index.bwt_len  # SA values p range over [0, bwt_len)
-    g = np.zeros((n_all, row_words), dtype=np.uint32)
-    for i in range(w):
-        acc = np.zeros(n_all, dtype=np.uint32)
-        for t in range(spw):
-            off = 1 + spw * i + t
-            if off < n_all:
-                take = min(n_text, n_all - off)
-                acc[off : off + take] |= syms[:take].astype(np.uint32) << np.uint32(bits * t)
-        g[:, i] = acc
-    g[:, w] = np.arange(n_all, dtype=np.uint32)
-    from ..build.suffix_array import gather_rows_u32
+    # p - 1 - spw*i - t; one parallel native pass straight off the packed
+    # text (the NumPy shifted-slice form did w*spw read-modify-write sweeps
+    # over the multi-GB output — minutes at chr1 scale on fault-bound
+    # pages).  One parallel row gather then permutes text order -> BWT-row
+    # order; the last column g[p, w] = p lands as the row's SA value for
+    # free.
+    from ..build.suffix_array import fat_rows_native, gather_rows_u32
 
-    fat = gather_rows_u32(g, inv_sa.astype(np.uint32))
-    assert fat.shape == (n_rows, row_words)
+    g = fat_rows_native(index.text_packed, n_text, bits, n_all, row_words, w)
+    if g is None:
+        # Pure-NumPy fallback (native library unavailable): unpack the
+        # packed text then OR shifted slices per (word, slot).
+        tp = index.text_packed.astype(np.uint32)
+        syms = np.zeros(tp.shape[0] * spw, dtype=np.uint8)
+        for t in range(spw):
+            syms[t::spw] = (tp >> np.uint32(bits * t)) & ((1 << bits) - 1)
+        syms = syms[:n_text]
+        g = np.zeros((n_all, row_words), dtype=np.uint32)
+        for i in range(w):
+            acc = np.zeros(n_all, dtype=np.uint32)
+            for t in range(spw):
+                off = 1 + spw * i + t
+                if off < n_all:
+                    take = min(n_text, n_all - off)
+                    acc[off : off + take] |= syms[:take].astype(np.uint32) << np.uint32(bits * t)
+            g[:, i] = acc
+        g[:, w] = np.arange(n_all, dtype=np.uint32)
+
+    # Pad the row count so the flat view is 8-word divisible (the sweep
+    # layout reads 8-word rows); zero pad rows are never addressed (window
+    # sweeps clamp wbase to the REAL flat length).
+    pad = 1 if (n_rows * row_words) % 8 else 0  # row_words 4: odd n_rows
+    fat = gather_rows_u32(g, inv_sa.astype(np.uint32), pad_rows=pad)
+    assert fat.shape == (n_rows + pad, row_words)
     return fat, s, w
 
 
@@ -337,9 +343,21 @@ def to_device(
     """
     if index.bwt_len >= 2**32:
         raise NotImplementedError(
-            "device engines are uint32-positioned (texts < 4 Gbp); larger"
-            " pan-genome indexes need 64-bit position kernels (planned)"
+            "this engine is uint32-positioned (texts < 4 Gbp); wider single"
+            " indexes route through ops/wide.to_device_wide (FmQueryEngine"
+            " does this automatically)"
         )
+
+    t_phase = time.perf_counter()
+
+    def phase(name: str) -> None:
+        # Ship observability: genome-scale layout assembly (fat rows, sweep
+        # transposes) runs for minutes; INFO-level phase timings make a slow
+        # engine construction diagnosable (mirrors build/builder.py).
+        nonlocal t_phase
+        now = time.perf_counter()
+        _log.info("ship phase %-22s %.1fs", name, now - t_phase)
+        t_phase = now
 
     def put(name: str, arr: np.ndarray) -> jax.Array:
         if sharding is not None and not isinstance(sharding, dict):
@@ -354,6 +372,7 @@ def to_device(
         index.text_sampled_sa if index.has_marks else index.sampled_sa
     )
     fused = build_fused_blocks(index)
+    phase("fused blocks")
     if minimal:
         dummy = np.zeros(1, dtype=np.uint32)
         return FmDeviceIndex(
@@ -382,6 +401,7 @@ def to_device(
         from .sweep import build_sweep_blocks
 
         sweep_arr = put("blocks_sweep", build_sweep_blocks(fused))
+        phase("blocks sweep")
         if index.text_packed is not None:
             padded_text = np.concatenate(
                 [np.zeros(_text_pad_words(), dtype=np.uint32),
@@ -391,6 +411,7 @@ def to_device(
             rows8 = np.zeros((nw8, 8), dtype=np.uint32)
             rows8.reshape(-1)[: padded_text.shape[0]] = padded_text
             text_sweep_arr = put("text_sweep", build_sweep_blocks(rows8))
+            phase("text sweep")
     elif index.text_packed is not None and not lean:
         # VMEM-regime verify compare: overlapping stride-4 rows of the
         # padded text, pre-symbol-reversed (see FmDeviceIndex.text_rows8).
@@ -417,8 +438,12 @@ def to_device(
 
         def sweep8(flat: np.ndarray) -> np.ndarray:
             n8 = -(-flat.shape[0] // 8)
-            rows = np.zeros((n8, 8), dtype=np.uint32)
-            rows.reshape(-1)[: flat.shape[0]] = flat.astype(np.uint32)
+            flat = np.ascontiguousarray(flat, dtype=np.uint32)
+            if flat.shape[0] == n8 * 8:
+                rows = flat.reshape(n8, 8)  # view: no multi-GB copy
+            else:
+                rows = np.zeros((n8, 8), dtype=np.uint32)
+                rows.reshape(-1)[: flat.shape[0]] = flat
             return build_sweep_blocks(rows)
 
         if index.kmer_table.nbytes // 2 >= 64 * 1024 * 1024:
@@ -426,8 +451,10 @@ def to_device(
             kflat = index.kmer_table.astype(np.uint32).reshape(-1)
             kmer_sweep_arr = put("kmer_sweep", sweep8(kflat))
             kmer_flat_arr = put("kmer_flat", kflat)
+            phase("kmer sweep")
         if index.resolved_mark_ratio == 1 and index.has_marks:
             sa_sweep_arr = put("sa_sweep", sweep8(text_sampled.astype(np.uint32)))
+            phase("sa sweep")
     marked_sa8_arr = None
     vw_arr, vw_s, vw_w = None, 0, 0
     vw_row_words = 8
@@ -442,14 +469,15 @@ def to_device(
             index, flat, s=index.kmer_len, row_words=4
         )
         vw_row_words = 4
+        phase("slot fat rows")
         from .sweep import build_sweep_blocks as _bsb
 
-        vflat = vw.reshape(-1)
-        n8 = -(-vflat.shape[0] // 8)
-        rows8 = np.zeros((n8, 8), dtype=np.uint32)
-        rows8.reshape(-1)[: vflat.shape[0]] = vflat
+        # vw's row count is padded so this flat view is 8-word divisible:
+        # no multi-GB pad copy before the tile transpose.
+        rows8 = vw.reshape(-1).reshape(-1, 8)
         vw_sweep_arr = put("vw_sweep", _bsb(rows8))
-        del vw, vflat, rows8
+        del vw, rows8
+        phase("slot fat sweep")
     if (
         index.resolved_mark_ratio == 1
         and index.has_marks
@@ -493,7 +521,8 @@ def to_device(
         if ship_row_sa
         else np.zeros(1, dtype=np.uint32)
     )
-    return FmDeviceIndex(
+    phase("aux layouts")
+    dev = FmDeviceIndex(
         blocks=put("blocks", fused),
         blocks_sweep=sweep_arr,
         text_sweep=text_sweep_arr,
@@ -541,3 +570,5 @@ def to_device(
         has_marks=index.has_marks,
         mark_ratio=index.resolved_mark_ratio,
     )
+    phase("core arrays + upload")
+    return dev

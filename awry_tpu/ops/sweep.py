@@ -192,8 +192,13 @@ def sweep_pad_tiles(num_blocks: int) -> int:
 
 def build_sweep_blocks(blocks: np.ndarray) -> np.ndarray:
     """[NB, W] fused rows -> [NT_pad, W, 128] transposed-per-tile layout."""
+    from ..build.suffix_array import sweep_tiles_native
+
     nb, w = blocks.shape
     nt = sweep_pad_tiles(nb)
+    out = sweep_tiles_native(np.asarray(blocks), nt)
+    if out is not None:
+        return out
     padded = np.zeros((nt * CHUNK, w), dtype=np.uint32)
     padded[:nb] = np.asarray(blocks, dtype=np.uint32)
     return np.ascontiguousarray(padded.reshape(nt, CHUNK, w).transpose(0, 2, 1))

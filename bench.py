@@ -449,7 +449,13 @@ def run_config(cfg):
     rng = config_rng(cfg)
     seq = synth_text(cfg, rng)
     index, build_s = build_or_load(cfg, seq)
+    import logging
+
+    logging.basicConfig(stream=sys.stderr)
+    logging.getLogger("awry_tpu.ship").setLevel(logging.INFO)
+    t_eng = time.perf_counter()
     engine = FmQueryEngine(index)
+    log(f"[{cfg['name']}] engine constructed in {time.perf_counter()-t_eng:.1f}s")
     try:
         return _run_config_inner(cfg, rng, seq, index, engine, build_s)
     finally:
