@@ -88,7 +88,9 @@ def save_awry(index: FmIndexData, path: str) -> None:
             f.write(hb)
 
 
-def load_awry(path: str, *, kmer_on_device: bool | None = None) -> FmIndexData:
+def load_awry(
+    path: str, *, kmer_on_device: bool | None = None, strict: bool = False
+) -> FmIndexData:
     """Parse a .awry file (ours or AWRY's) back to FmIndexData
     (src/fm_index_file.rs:132-287).
 
@@ -97,21 +99,50 @@ def load_awry(path: str, *, kmer_on_device: bool | None = None) -> FmIndexData:
     breadth-wise device builder (ops/kmer.py) - at k >= 12 the host path
     takes minutes-to-hours while the device build takes seconds; default
     (None) picks the device exactly in that regime when an accelerator is
-    available."""
+    available.
+
+    Structural damage (truncation, absurd header fields, short sections)
+    always raises ValueError — the reference loader panics or reinterprets
+    garbage here (src/fm_index_file.rs:218-231 unsafe reinterpret).
+    ``strict=True`` additionally runs value-level corruption checks
+    (FmIndexData.validate(strict=True)) and rejects trailing bytes; note
+    the format has NO checksums (matching the reference), so bit flips in
+    the plane payload are undetectable by any loader."""
     with open(path, "rb") as f:
         data = f.read()
     buf = io.BytesIO(data)
+
+    def read_exact(n: int, what: str) -> bytes:
+        b = buf.read(n)
+        if len(b) != n:
+            raise ValueError(
+                f"truncated .awry file: {what} needs {n} bytes, got {len(b)}"
+            )
+        return b
+
     if buf.read(len(MAGIC)) != MAGIC:
         raise ValueError("not an .awry index file (bad magic)")
 
-    version, sa_ratio, bwt_len, alphabet_idx = struct.unpack("<4Q", buf.read(32))
+    version, sa_ratio, bwt_len, alphabet_idx = struct.unpack(
+        "<4Q", read_exact(32, "header")
+    )
     alphabet = Alphabet(alphabet_idx)
+    if sa_ratio < 1 or bwt_len < 1:
+        raise ValueError(
+            f".awry header out of range: sa_ratio={sa_ratio}, bwt_len={bwt_len}"
+        )
     nv = alphabet.num_planes
     slots = _MILESTONE_SLOTS[alphabet]
     nb = -(-bwt_len // SYMBOLS_PER_BLOCK)
 
     block_stride = nv * 32 + slots * 8
-    raw = np.frombuffer(buf.read(nb * block_stride), dtype=np.uint8).reshape(nb, block_stride)
+    if nb * block_stride > len(data):
+        raise ValueError(
+            f"truncated .awry file: {nb} blocks x {block_stride} B exceed the file"
+        )
+    raw = np.frombuffer(
+        read_exact(nb * block_stride, "block section"), dtype=np.uint8
+    ).reshape(nb, block_stride)
     planes = (
         raw[:, : nv * 32]
         .reshape(nb, nv, 32)
@@ -126,24 +157,36 @@ def load_awry(path: str, *, kmer_on_device: bool | None = None) -> FmIndexData:
     )
 
     c = alphabet.cardinality
-    prefix_sums = np.frombuffer(buf.read((c + 1) * 8), dtype="<u8").astype(np.uint64)
+    prefix_sums = np.frombuffer(
+        read_exact((c + 1) * 8, "prefix sums"), dtype="<u8"
+    ).astype(np.uint64)
 
     n_words = packed_word_len(bwt_len, sa_ratio)
-    packed = np.frombuffer(buf.read(n_words * 8), dtype="<u8").astype(np.uint64)
+    packed = np.frombuffer(
+        read_exact(n_words * 8, "packed suffix array"), dtype="<u8"
+    ).astype(np.uint64)
     sampled_sa = unpack(packed, bwt_len, sa_ratio)
 
-    (kmer_len,) = struct.unpack("<B", buf.read(1))
+    (kmer_len,) = struct.unpack("<B", read_exact(1, "kmer length"))
     base = alphabet.num_encoding_symbols
     n_entries = base**kmer_len
+    if buf.tell() + n_entries * 16 > len(data):
+        raise ValueError(
+            f"truncated .awry file: kmer_len={kmer_len} table exceeds the file"
+        )
     buf.seek(n_entries * 16, io.SEEK_CUR)  # stored table ignored; re-derived below
 
-    (num_seqs,) = struct.unpack("<Q", buf.read(8))
+    (num_seqs,) = struct.unpack("<Q", read_exact(8, "sequence count"))
+    if num_seqs * 16 > len(data) - buf.tell():
+        raise ValueError(f"truncated .awry file: {num_seqs} sequence records")
     seq_starts = np.zeros(num_seqs, dtype=np.int64)
     headers: list[str] = []
     for i in range(num_seqs):
-        start, hlen = struct.unpack("<QQ", buf.read(16))
+        start, hlen = struct.unpack("<QQ", read_exact(16, f"sequence record {i}"))
         seq_starts[i] = start
-        headers.append(buf.read(hlen).decode("utf-8", errors="replace"))
+        headers.append(read_exact(hlen, f"header {i}").decode("utf-8", errors="replace"))
+    if strict and buf.read(1):
+        raise ValueError("trailing bytes after the .awry sequence index")
 
     index = FmIndexData(
         alphabet=alphabet,
@@ -177,5 +220,5 @@ def load_awry(path: str, *, kmer_on_device: bool | None = None) -> FmIndexData:
         from ..host_engine import populate_kmer_table
 
         index.kmer_table = populate_kmer_table(index)
-    index.validate()
+    index.validate(strict=strict)
     return index

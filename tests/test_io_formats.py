@@ -2,6 +2,8 @@
 parsing (mirrors src/compressed_suffix_array.rs:137-212 and
 save_load_equality_test, src/fm_index.rs:1046-1088)."""
 
+import struct
+
 import numpy as np
 import pytest
 
@@ -421,3 +423,92 @@ def test_stream_fastq_matches_slurp(rng, tmp_path):
         f.write(b"@r1\nACGT\n+\nIIII\n@r2\nTT\n")
     with pytest.raises(ValueError, match="multiple of 4"):
         stream_fastq(str(tmp_path / "trunc.fastq"), Alphabet.NUCLEOTIDE, chunk_bytes=8)
+
+
+def test_load_awry_truncation_and_corruption_fuzz(rng, tmp_path):
+    """Loader hardening (round-3 verdict task 8): any structural damage —
+    truncation at every section boundary, absurd header fields, short
+    sequence records — must raise, never reinterpret garbage (the reference
+    loader unsafe-reinterprets bytes, src/fm_index_file.rs:218-231).  The
+    format has no checksums (matching the reference), so payload bit flips
+    are only caught by strict value-level validation when they break an
+    invariant."""
+    from awry_tpu import Alphabet, FmBuildArgs, build_from_records
+    from awry_tpu.io.awry_format import load_awry, save_awry
+
+    seq = bytes(rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=701))
+    index = build_from_records(
+        [("rec_a", seq[:300]), ("rec_b", seq[300:])],
+        FmBuildArgs(alphabet=Alphabet.NUCLEOTIDE, lookup_table_kmer_len=2),
+    )
+    p = str(tmp_path / "f.awry")
+    save_awry(index, p)
+    blob = open(p, "rb").read()
+
+    # Sanity: intact file round-trips under strict.
+    load_awry(p, strict=True).validate(strict=True)
+
+    # Truncation at many offsets (every section boundary region + a sweep).
+    for cut in [0, 5, 11, 20, 43, len(blob) // 3, len(blob) // 2, len(blob) - 1]:
+        bad = str(tmp_path / f"cut{cut}.awry")
+        with open(bad, "wb") as f:
+            f.write(blob[:cut])
+        with pytest.raises((ValueError, struct.error)):
+            load_awry(bad)
+
+    # Bad magic.
+    with open(str(tmp_path / "m.awry"), "wb") as f:
+        f.write(b"X" + blob[1:])
+    with pytest.raises(ValueError, match="magic"):
+        load_awry(str(tmp_path / "m.awry"))
+
+    # Absurd header fields: bwt_len huge, sa_ratio 0, alphabet invalid,
+    # kmer_len byte blown up to 201 (base**201 table cannot fit any file).
+    import struct as _s
+
+    def patch(off, fmt, val):
+        b = bytearray(blob)
+        _s.pack_into(fmt, b, off, val)
+        q = str(tmp_path / f"p{off}.awry")
+        with open(q, "wb") as f:
+            f.write(bytes(b))
+        return q
+
+    hdr = len(b"AWRY-Index\n")
+    with pytest.raises(ValueError):
+        load_awry(patch(hdr + 16, "<Q", 1 << 60))  # bwt_len
+    with pytest.raises(ValueError):
+        load_awry(patch(hdr + 8, "<Q", 0))  # sa_ratio
+    with pytest.raises(ValueError):
+        load_awry(patch(hdr + 24, "<Q", 77))  # alphabet idx
+    # kmer_len byte sits right after the packed SA section.
+    from awry_tpu.utils.bitpack import packed_word_len
+
+    koff = (
+        hdr + 32 + index.num_blocks * (3 * 32 + 8 * 8)
+        + (index.cardinality + 1) * 8
+        + packed_word_len(index.bwt_len, index.sa_ratio) * 8
+    )
+    assert blob[koff] == index.kmer_len
+    with pytest.raises(ValueError):
+        load_awry(patch(koff, "<B", 201))
+
+    # Trailing garbage: accepted loose (reference ignores it), rejected strict.
+    tg = str(tmp_path / "t.awry")
+    with open(tg, "wb") as f:
+        f.write(blob + b"junk")
+    load_awry(tg)
+    with pytest.raises(ValueError, match="trailing"):
+        load_awry(tg, strict=True)
+
+    # Value-level corruption strict mode can see: make prefix_sums
+    # non-monotone (two u64 fields right after the block section).
+    ps_off = hdr + 32 + index.num_blocks * (3 * 32 + 8 * 8)
+    b = bytearray(blob)
+    _s.pack_into("<Q", b, ps_off + 8, int(index.bwt_len))  # prefix_sums[1] jumps high
+    _s.pack_into("<Q", b, ps_off + 16, 1)  # prefix_sums[2] below it
+    q = str(tmp_path / "ps.awry")
+    with open(q, "wb") as f:
+        f.write(bytes(b))
+    with pytest.raises((ValueError, AssertionError)):
+        load_awry(q, strict=True)
