@@ -150,7 +150,11 @@ def build_from_sequence_data(seq_data: SequenceData, args: FmBuildArgs) -> FmInd
     phase("planes+milestones")
 
     sa_ratio = args.resolved_sa_ratio()
-    sampled_sa = sa[::sa_ratio].astype(np.uint64)  # sampling by BWT row (csa.rs:109-111)
+    # uint32 whenever positions fit (bwt_len <= 2**32): the sampled arrays
+    # are the artifact's dominant bytes at genome scale, engines ship them
+    # as u32 anyway, and the wide (>4 Gbp) path widens on load.
+    pos_dtype = np.uint32 if bwt_len <= (1 << 32) else np.uint64
+    sampled_sa = sa[::sa_ratio].astype(pos_dtype)  # sampling by BWT row (csa.rs:109-111)
 
     # Text-order sampling marks (device locate fast path; index.py docstring).
     # Mark density is a locate-speed knob independent of the .awry sa_ratio:
@@ -164,9 +168,9 @@ def build_from_sequence_data(seq_data: SequenceData, args: FmBuildArgs) -> FmInd
     mark_milestones = np.zeros(num_blocks, dtype=np.uint32)
     np.cumsum(per_block_marked[:-1], out=mark_milestones[1:], dtype=np.uint32)
     if mark_ratio == 1:  # every row marked: skip the 250M+-row boolean index
-        text_sampled_sa = sa.astype(np.uint64)
+        text_sampled_sa = sa.astype(pos_dtype)
     else:
-        text_sampled_sa = sa[marked[: sa.shape[0]].astype(bool)].astype(np.uint64)
+        text_sampled_sa = sa[marked[: sa.shape[0]].astype(bool)].astype(pos_dtype)
     phase("marks")
 
     # Packed text for the seed-walk-verify serving path (ops/verify.py):

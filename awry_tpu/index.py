@@ -97,7 +97,7 @@ class FmIndexData:
     planes: np.ndarray  # uint32 [num_blocks, num_planes, 8]
     milestones: np.ndarray  # uint64 [num_blocks, cardinality]
     prefix_sums: np.ndarray  # uint64 [cardinality + 1]
-    sampled_sa: np.ndarray  # uint64 [ceil(bwt_len / sa_ratio)]
+    sampled_sa: np.ndarray  # uint32|uint64 [ceil(bwt_len / sa_ratio)] (u32 iff bwt_len fits)
     sa_ratio: int
     bwt_len: int
     kmer_table: np.ndarray  # uint32|uint64 [base**kmer_len, 2] (u32 iff bwt_len fits)
@@ -113,7 +113,7 @@ class FmIndexData:
     # where engines fall back to the row-sampled walk.
     mark_bits: np.ndarray | None = None  # uint32 [num_blocks, 8]
     mark_milestones: np.ndarray | None = None  # uint32 [num_blocks]
-    text_sampled_sa: np.ndarray | None = None  # uint64 [num marked rows]
+    text_sampled_sa: np.ndarray | None = None  # uint32|uint64 [num marked rows]
     # Mark density: text positions that are multiples of mark_ratio are
     # marked (walk bound = mark_ratio - 1 steps).  Decoupled from sa_ratio
     # (the .awry row-sampling ratio); 0 means "legacy: equal to sa_ratio"

@@ -81,10 +81,12 @@ CONFIGS = [
     # HEADLINE FIRST: chr1 is BASELINE.json's stated metric ("count+locate
     # q/s/chip on human chr1 index, 30 bp queries"); running it first means
     # a driver timeout still records the headline.
-    # k=14 puts chr1 in the slot-verify regime (expected seed width
-    # 250e6/4^14 = 0.93): ZERO post-seed rank sweeps - measured +28% device
-    # q/s over classic k=13 (scripts/ab_round3.py: 9.32M vs 7.27M).
-    dict(name="chr1_250Mbp_dna", kind="dna", n=250_000_000, nq=524_288, qlen=30, k=14, mark=1),
+    # k=13 classic: the round-3 k=14 slot experiment measured HONESTLY
+    # (after the round-4 coverage fix made its redis flag truthful) loses on
+    # device compute (7.3M vs 8.6M q/s) AND quadruples the shipped
+    # footprint (10.9 GB vs ~3 GB: ~11 min of relay upload per engine
+    # construction) - classic k=13 wins on both axes.
+    dict(name="chr1_250Mbp_dna", kind="dna", n=250_000_000, nq=524_288, qlen=30, k=13, mark=1),
     dict(name="ecoli_4.6Mbp_dna", kind="dna", n=4_600_000, nq=524_288, qlen=30, k=10, mark=1),
     dict(name="chr20_64Mbp_dna", kind="dna", n=64_000_000, nq=524_288, qlen=30, k=13, mark=1),
     dict(name="swissprot_20Mres_amino", kind="amino", n=20_000_000, nq=262_144, qlen=12, k=5, mark=1),
