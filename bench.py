@@ -443,7 +443,7 @@ def run_pangenome(cfg, deadline: float | None):
     return result
 
 
-def run_config(cfg):
+def run_config(cfg, checkpoint_cb=None):
     from awry_tpu.ops import FmQueryEngine
 
     log(f"=== {cfg['name']}: {cfg['n']/1e6:.0f}M symbols, "
@@ -459,7 +459,7 @@ def run_config(cfg):
     engine = FmQueryEngine(index)
     log(f"[{cfg['name']}] engine constructed in {time.perf_counter()-t_eng:.1f}s")
     try:
-        return _run_config_inner(cfg, rng, seq, index, engine, build_s)
+        return _run_config_inner(cfg, rng, seq, index, engine, build_s, checkpoint_cb)
     finally:
         # Free this config's HBM before the next one builds (round-2 OOM).
         engine.release()
@@ -467,7 +467,7 @@ def run_config(cfg):
         gc.collect()
 
 
-def _run_config_inner(cfg, rng, seq, index, engine, build_s):
+def _run_config_inner(cfg, rng, seq, index, engine, build_s, checkpoint_cb=None):
     num_batches = cfg.get("batches", NUM_BATCHES)
     trials = cfg.get("trials", TRIALS)
     batches, batch_queries = [], []
@@ -514,6 +514,20 @@ def _run_config_inner(cfg, rng, seq, index, engine, build_s):
 
     stats = dict(engine.stats)
 
+    if checkpoint_cb is not None:
+        # Flush the e2e headline NOW: a driver timeout during the (slower)
+        # device-compute probe below must not cost the recorded number.
+        checkpoint_cb({
+            "config": cfg["name"],
+            "queries_per_sec": round(best_qps, 1),
+            "num_queries": cfg["nq"],
+            "query_len": cfg["qlen"],
+            "kmer_len": cfg["k"],
+            "locate_cap": LOCATE_CAP,
+            "api": "count_locate_stream",
+            "partial_config": "device probe pending",
+        })
+
     # Secondary metric: device-compute-only sustained rate (results reduced
     # on device; isolates the chip from this environment's slow host relay —
     # on PCIe-local hardware the public API approaches this number).
@@ -551,7 +565,7 @@ def _run_config_inner(cfg, rng, seq, index, engine, build_s):
 
 
 def main() -> None:
-    import jax
+    import threading
 
     signal.signal(signal.SIGTERM, _emit_and_exit)
     signal.signal(signal.SIGINT, _emit_and_exit)
@@ -562,6 +576,24 @@ def main() -> None:
         # clobber the full-matrix results file.
         global _RESULTS_PATH
         _RESULTS_PATH = _RESULTS_PATH.replace(".json", ".partial.json")
+
+    # ALL bench work runs in a daemon thread; the MAIN thread stays in an
+    # interruptible join loop.  Python signal handlers only run between main-
+    # thread bytecodes — a driver SIGTERM landing while the main thread was
+    # blocked inside a native call (a multi-GB device transfer, an SA-IS
+    # build) was silently fatal: no handler, no stdout JSON, a 0.0 headline
+    # (exactly round 2's "parsed": null).
+    worker = threading.Thread(target=_run_all, args=(only,), daemon=True)
+    worker.start()
+    while worker.is_alive():
+        worker.join(timeout=0.2)
+    if _payload is not None:
+        print(json.dumps(_payload), flush=True)
+
+
+def _run_all(only) -> None:
+    import jax
+
     log(f"platform: {jax.default_backend()}, devices: {jax.devices()}")
 
     results = []
@@ -574,18 +606,20 @@ def main() -> None:
     for cfg in CONFIGS:
         if only and cfg["name"] not in only:
             continue
+        def flush_partial(row, _results=results):
+            _checkpoint(_results + [row])
+
         try:
             if cfg["kind"] == "pangenome":
                 results.append(run_pangenome(cfg, None if only else pan_deadline))
             else:
-                results.append(run_config(cfg))
+                results.append(run_config(cfg, checkpoint_cb=flush_partial))
         except Exception as e:  # noqa: BLE001
             log(f"[{cfg['name']}] FAILED: {type(e).__name__}: {e}")
             results.append({"config": cfg["name"], "error": f"{type(e).__name__}: {e}"})
         _checkpoint(results)
 
     _checkpoint(results, partial=False)
-    print(json.dumps(_payload))
 
 
 if __name__ == "__main__":
