@@ -38,6 +38,16 @@ import signal
 import sys
 import time
 
+# Persistent compilation cache BEFORE jax loads anywhere: through the
+# remote-compile relay every fused serving program costs 20-60 s to build;
+# the cache (validated against the axon backend: 4.2 s -> 0.95 s across
+# processes) lets a fresh driver run reuse every program compiled by
+# rehearsals under the same config matrix.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+
 import numpy as np
 
 # AWRY 32-thread CPU count+locate throughput: the vs_baseline denominator.
@@ -594,6 +604,10 @@ def main() -> None:
 def _run_all(only) -> None:
     import jax
 
+    try:
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # noqa: BLE001
+        pass
     log(f"platform: {jax.default_backend()}, devices: {jax.devices()}")
 
     results = []
