@@ -147,6 +147,7 @@ def build_from_sequence_data(seq_data: SequenceData, args: FmBuildArgs) -> FmInd
 
     planes = pack_bit_planes(bwt_syms, alphabet)
     milestones, prefix_sums = compute_milestones(bwt_syms, alphabet)
+    del bwt_syms  # 1 B/symbol, unused below
     phase("planes+milestones")
 
     sa_ratio = args.resolved_sa_ratio()
@@ -171,6 +172,8 @@ def build_from_sequence_data(seq_data: SequenceData, args: FmBuildArgs) -> FmInd
         text_sampled_sa = sa.astype(pos_dtype)
     else:
         text_sampled_sa = sa[marked[: sa.shape[0]].astype(bool)].astype(pos_dtype)
+    del sa, marked  # 4-8 B/symbol: holding them through the k-mer phase
+    # pushed pan-genome partition builds into the OOM killer
     phase("marks")
 
     # Packed text for the seed-walk-verify serving path (ops/verify.py):

@@ -106,24 +106,44 @@ def populate_kmer_table_counting(
     bad = dense < 0
     any_bad_text = bool(bad[:n].any())
 
-    # --- valid windows: doubling-pass addresses -----------------------------
-    # Window starts [0, n-k] whose k digits are all encoding symbols.
+    # --- valid windows: CHUNKED doubling-pass addresses + histogram ---------
+    # Window starts [0, n-k] whose k digits are all encoding symbols.  The
+    # address stream is processed in bounded chunks (each chunk's doubling
+    # temporaries are ~3 x chunk x 4 B) so multi-Gbp texts never hold an
+    # n-sized uint32 address array — a pan-genome partition build at 2.6 Gbp
+    # peaked past the OOM killer with the one-shot form.
     n_starts = n - k + 1  # window starts fully inside the text
     m_invalid_text = 0
-    if n_starts > 0:
-        addr = _window_addresses(dense, k, b)[:n_starts]
+    inv_text_parts: list[np.ndarray] = []
+    use_native = n + 1 <= (1 << 32)
+    cnt32 = np.zeros(total, dtype=np.uint32) if use_native else None
+    cnt64 = None
+    chunk = 1 << 28
+    for lo in range(0, max(n_starts, 0), chunk):
+        hi = min(lo + chunk, n_starts)
+        sub = dense[lo : hi + k - 1]
+        addr = _window_addresses(sub, k, b)[: hi - lo]
         if any_bad_text:
-            badcum = np.zeros(n + k + 1, dtype=np.int64)
-            np.cumsum(bad, out=badcum[1:])
-            valid = (badcum[k : n_starts + k] - badcum[:n_starts]) == 0
-            m_invalid_text = int(n_starts - valid.sum())
-            if m_invalid_text:
+            bsub = bad[lo : hi + k - 1]
+            bc = np.zeros(bsub.shape[0] + 1, dtype=np.int64)
+            np.cumsum(bsub, out=bc[1:])
+            valid = (bc[k:] - bc[: hi - lo]) == 0
+            n_inv = int(hi - lo - valid.sum())
+            if n_inv:
+                inv_text_parts.append(lo + np.flatnonzero(~valid))
+                m_invalid_text += n_inv
                 addr = addr[valid]
-        else:
-            valid = None  # all-valid: skip the mask copy entirely
-    else:
-        valid = np.zeros(0, dtype=bool)
-        addr = np.zeros(0, dtype=np.uint32)
+        if use_native:
+            from .suffix_array import kmer_hist_native
+
+            if not kmer_hist_native(addr, cnt32):
+                use_native = False
+        if not use_native:
+            if cnt64 is None:
+                cnt64 = cnt32.astype(np.int64) if cnt32 is not None else np.zeros(total, dtype=np.int64)
+                cnt32 = None
+            cnt64 += np.bincount(addr, minlength=total)
+        del addr
 
     # --- invalid windows: lexicographic insert points ------------------------
     # Every suffix of the bwt text not counted above: window starts in
@@ -134,10 +154,11 @@ def populate_kmer_table_counting(
     m = m_invalid_text + n_tail
     insert_parts = []
     if m:
-        if m_invalid_text:
-            inv_starts_text = np.flatnonzero(~valid)
-        else:
-            inv_starts_text = np.zeros(0, dtype=np.int64)
+        inv_starts_text = (
+            np.concatenate(inv_text_parts)
+            if inv_text_parts
+            else np.zeros(0, dtype=np.int64)
+        )
         tail = np.arange(max(n_starts, 0), n + 1, dtype=np.int64)
         inv_starts = np.concatenate([inv_starts_text, tail])
         pow_b = b ** np.arange(k + 1, dtype=np.int64)  # pow_b[j] = b**j
@@ -163,22 +184,24 @@ def populate_kmer_table_counting(
     inserts = (
         np.sort(np.concatenate(insert_parts)) if insert_parts else np.zeros(0, dtype=np.int64)
     )
-    assert addr.shape[0] + m == n + 1, "every suffix must be counted exactly once"
+    counted = int(cnt32.sum(dtype=np.int64) if cnt32 is not None else cnt64.sum())
+    assert counted + m == n + 1, "every suffix must be counted exactly once"
 
     # --- assemble -------------------------------------------------------------
     # uint32 whenever every row index fits (bwt_len = n+1 <= 2**32): half the
     # host memory / artifact bytes / load time of the dominant component.
-    if n + 1 <= (1 << 32):
-        from .suffix_array import kmer_assemble_native
+    if use_native:
+        from .suffix_array import kmer_fill_native
 
-        # Fused native histogram + scan + fill (one uint32 count bin + the
-        # output per table entry: NumPy's bincount/cumsum/mask pipeline
-        # first-touches ~5x the bytes, minutes at k=14 on fault-bound hosts).
-        table = kmer_assemble_native(addr, inserts, total)
+        # Native scan + fill (one uint32 count bin + the output per table
+        # entry: NumPy's cumsum/mask pipeline first-touches ~5x the bytes,
+        # minutes at k=14 on fault-bound hosts).
+        table = kmer_fill_native(cnt32, inserts)
         if table is not None:
             return table
+        cnt64 = cnt32.astype(np.int64)
 
-    cnt = np.bincount(addr, minlength=total) if addr.shape[0] else np.zeros(total, dtype=np.int64)
+    cnt = cnt64
     inv_hist = np.bincount(inserts, minlength=total + 1) if m else np.zeros(total + 1, dtype=np.int64)
     starts = np.zeros(total, dtype=np.int64)
     np.cumsum(cnt[:-1], out=starts[1:])  # exclusive cumsum of bucket sizes

@@ -85,10 +85,16 @@ def _load_native():
                 ctypes.c_int64,
                 ctypes.c_int64,
             ]
-            lib.awry_kmer_assemble_u32.restype = ctypes.c_int
-            lib.awry_kmer_assemble_u32.argtypes = [
+            lib.awry_kmer_hist_u32.restype = ctypes.c_int
+            lib.awry_kmer_hist_u32.argtypes = [
                 ctypes.POINTER(ctypes.c_uint32),
                 ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_uint32),
+                ctypes.c_int64,
+            ]
+            lib.awry_kmer_fill_u32.restype = ctypes.c_int
+            lib.awry_kmer_fill_u32.argtypes = [
+                ctypes.POINTER(ctypes.c_uint32),
                 ctypes.POINTER(ctypes.c_uint32),
                 ctypes.c_int64,
                 ctypes.POINTER(ctypes.c_uint32),
@@ -267,29 +273,42 @@ def fat_rows_native(
     return g
 
 
-def kmer_assemble_native(
-    addr: np.ndarray, inserts: np.ndarray, total: int
-) -> np.ndarray | None:
-    """Fused histogram + scan + seed-table fill (native; see
-    awry_kmer_assemble_u32).  Returns uint32[total, 2] or None when the
-    native library is unavailable (caller falls back to the NumPy pipeline).
-    ``inserts`` must be SORTED ascending."""
+def kmer_hist_native(addr: np.ndarray, cnt: np.ndarray) -> bool:
+    """Accumulate the k-mer address histogram into caller-owned uint32
+    ``cnt`` (one chunk of the address stream per call; atomic increments).
+    Returns False when the native library is unavailable."""
+    lib = _load_native()
+    if lib is None:
+        return False
+    addr = np.ascontiguousarray(addr, dtype=np.uint32)
+    lib.awry_kmer_hist_u32(
+        addr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        ctypes.c_int64(addr.shape[0]),
+        cnt.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        ctypes.c_int64(cnt.shape[0]),
+    )
+    return True
+
+
+def kmer_fill_native(cnt: np.ndarray, inserts: np.ndarray) -> np.ndarray | None:
+    """Scan + seed-table fill from the accumulated histogram (see
+    awry_kmer_fill_u32).  ``inserts`` must be SORTED ascending.  Returns
+    uint32[total, 2] or None when the native library is unavailable."""
     lib = _load_native()
     if lib is None:
         return None
-    addr = np.ascontiguousarray(addr, dtype=np.uint32)
+    total = cnt.shape[0]
     inserts = np.ascontiguousarray(inserts, dtype=np.uint32)
     table = np.empty((total, 2), dtype=np.uint32)
-    rc = lib.awry_kmer_assemble_u32(
-        addr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
-        ctypes.c_int64(addr.shape[0]),
+    rc = lib.awry_kmer_fill_u32(
+        cnt.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
         inserts.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
         ctypes.c_int64(inserts.shape[0]),
         table.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
         ctypes.c_int64(total),
     )
     if rc != 0:
-        raise RuntimeError(f"native kmer assemble failed with code {rc}")
+        raise RuntimeError(f"native kmer fill failed with code {rc}")
     return table
 
 

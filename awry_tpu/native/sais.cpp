@@ -358,11 +358,10 @@ int awry_gather_rows_u32(const uint32_t* src, const uint32_t* idx, uint32_t* dst
 // k=14 — minutes on this host's fault-bound pages; here one shared uint32
 // histogram (atomic increments; collisions are ~nil over b^k bins) and one
 // fused scan+fill pass touch 2x4 B/bin total.
-int awry_kmer_assemble_u32(const uint32_t* addr, int64_t n_addr,
-                           const uint32_t* inserts, int64_t n_inserts,
-                           uint32_t* table, int64_t total) {
-  std::vector<uint32_t> cnt((size_t)total);  // zero-initialized
-  advise_huge(cnt.data(), (size_t)total * 4);
+// Histogram accumulation pass (callers chunk multi-GB address streams so
+// the uint32 address temporaries never all exist at once).
+int awry_kmer_hist_u32(const uint32_t* addr, int64_t n_addr, uint32_t* cnt,
+                       int64_t total) {
 #pragma omp parallel for schedule(static)
   for (int64_t i = 0; i < n_addr; ++i) {
     uint32_t a = addr[i];
@@ -371,6 +370,12 @@ int awry_kmer_assemble_u32(const uint32_t* addr, int64_t n_addr,
       cnt[a]++;
     }
   }
+  return 0;
+}
+
+// Scan + fill from a caller-owned histogram (see awry_kmer_assemble_u32).
+int awry_kmer_fill_u32(const uint32_t* cnt, const uint32_t* inserts,
+                       int64_t n_inserts, uint32_t* table, int64_t total) {
   // Per-thread ranges: base = suffixes strictly below the range (cnt sum +
   // inserts), then a sequential scan+fill inside each range.
   int nt = 1;

@@ -175,6 +175,34 @@ class FmDeviceIndex:
         return mark_words_offset(self.alphabet)
 
 
+
+def _derive_sweep8(flat: jax.Array) -> jax.Array:
+    """On-device 1-D word array -> [NT_pad, 8, 128] sweep layout (mirrors
+    ops/sweep.build_sweep_blocks over 8-word rows).
+
+    Uploading the second copy of a multi-GB table through a slow
+    host<->device relay costs minutes; deriving it from the already-resident
+    flat array is an on-chip relayout.  Shape discipline: every intermediate
+    keeps a >=128 minor dimension — an in-graph reshape to [N, 8] materializes
+    a T(8,128)-padded temp (16x: observed 14.9 GB for chr1's 1 GB SA flat),
+    so the per-word columns are taken as STRIDED SLICES of [NT, 1024] and
+    stacked, which XLA lowers without padded temps."""
+    from .sweep import CHUNK, sweep_pad_tiles
+
+    n8 = -(-flat.shape[0] // 8)
+    nt = sweep_pad_tiles(n8)
+
+    @jax.jit
+    def go(f):
+        f = jnp.concatenate(
+            [f, jnp.zeros(nt * CHUNK * 8 - f.shape[0], dtype=f.dtype)]
+        )
+        F = f.reshape(nt, CHUNK * 8)  # leading split only; minor dim 1024
+        return jnp.stack([F[:, i::8] for i in range(8)], axis=1)
+
+    return go(flat)
+
+
 _VERIFY_WINDOW_WORDS = 5  # window words per fat row (see verify_windows)
 
 # Row-count ceiling for the VMEM-regime per-BWT-row extras (verify_windows
@@ -371,6 +399,12 @@ def to_device(
     text_sampled = (
         index.text_sampled_sa if index.has_marks else index.sampled_sa
     )
+    # Single-device non-CPU placements derive the sweep relayouts ON DEVICE
+    # from the already-uploaded base arrays (one upload per table instead of
+    # two; through a ~20 MB/s relay that halves multi-GB engine bring-up).
+    derive_dev = (
+        sharding is None and device is None and jax.default_backend() != "cpu"
+    )
     fused = build_fused_blocks(index)
     phase("fused blocks")
     if minimal:
@@ -394,23 +428,38 @@ def to_device(
             has_marks=index.has_marks,
             mark_ratio=index.resolved_mark_ratio,
         )
+    blocks_arr = put("blocks", fused)
+    text_packed_arr = (
+        put("text_packed", np.concatenate([
+            np.zeros(_text_pad_words(), dtype=np.uint32),
+            index.text_packed.astype(np.uint32),
+        ]))
+        if index.text_packed is not None
+        else None
+    )
+    text_sampled_arr = put("text_sampled_sa", text_sampled.astype(np.uint32))
     sweep_arr = None
     text_sweep_arr = None
     text_rows8_arr = None
     if build_sweep:
         from .sweep import build_sweep_blocks
 
+        # blocks_sweep stays host-built: its source is 2-D (no flat device
+        # copy to derive from) and it is the smallest sweep layout anyway.
         sweep_arr = put("blocks_sweep", build_sweep_blocks(fused))
         phase("blocks sweep")
-        if index.text_packed is not None:
-            padded_text = np.concatenate(
-                [np.zeros(_text_pad_words(), dtype=np.uint32),
-                 index.text_packed.astype(np.uint32)]
-            )
-            nw8 = -(-padded_text.shape[0] // 8)
-            rows8 = np.zeros((nw8, 8), dtype=np.uint32)
-            rows8.reshape(-1)[: padded_text.shape[0]] = padded_text
-            text_sweep_arr = put("text_sweep", build_sweep_blocks(rows8))
+        if text_packed_arr is not None:
+            if derive_dev:
+                text_sweep_arr = _derive_sweep8(text_packed_arr)
+            else:
+                padded_text = np.concatenate(
+                    [np.zeros(_text_pad_words(), dtype=np.uint32),
+                     index.text_packed.astype(np.uint32)]
+                )
+                nw8 = -(-padded_text.shape[0] // 8)
+                rows8 = np.zeros((nw8, 8), dtype=np.uint32)
+                rows8.reshape(-1)[: padded_text.shape[0]] = padded_text
+                text_sweep_arr = put("text_sweep", build_sweep_blocks(rows8))
             phase("text sweep")
     elif index.text_packed is not None and not lean:
         # VMEM-regime verify compare: overlapping stride-4 rows of the
@@ -446,14 +495,20 @@ def to_device(
                 rows.reshape(-1)[: flat.shape[0]] = flat
             return build_sweep_blocks(rows)
 
-        if index.kmer_table.nbytes // 2 >= 64 * 1024 * 1024:
-            # uint64 host table ships as uint32 on device (nbytes // 2).
+        if index.kmer_table.shape[0] * 8 >= 64 * 1024 * 1024:
+            # device table size = entries x 2 u32 words (host dtype varies).
             kflat = index.kmer_table.astype(np.uint32).reshape(-1)
-            kmer_sweep_arr = put("kmer_sweep", sweep8(kflat))
             kmer_flat_arr = put("kmer_flat", kflat)
+            kmer_sweep_arr = (
+                _derive_sweep8(kmer_flat_arr) if derive_dev else put("kmer_sweep", sweep8(kflat))
+            )
             phase("kmer sweep")
         if index.resolved_mark_ratio == 1 and index.has_marks:
-            sa_sweep_arr = put("sa_sweep", sweep8(text_sampled.astype(np.uint32)))
+            sa_sweep_arr = (
+                _derive_sweep8(text_sampled_arr)
+                if derive_dev
+                else put("sa_sweep", sweep8(text_sampled.astype(np.uint32)))
+            )
             phase("sa sweep")
     marked_sa8_arr = None
     vw_arr, vw_s, vw_w = None, 0, 0
@@ -523,7 +578,7 @@ def to_device(
     )
     phase("aux layouts")
     dev = FmDeviceIndex(
-        blocks=put("blocks", fused),
+        blocks=blocks_arr,
         blocks_sweep=sweep_arr,
         text_sweep=text_sweep_arr,
         text_rows8=text_rows8_arr,
@@ -538,19 +593,12 @@ def to_device(
         vw_sweep=vw_sweep_arr,
         kmer_flat=kmer_flat_arr,
         vw_flat=vw_flat_arr,
-        text_packed=(
-            # TEXT_PAD_WORDS zero words prepended: the verify path's
-            # backward window gather never clamps (ops/verify.py).
-            put("text_packed", np.concatenate([
-                np.zeros(_text_pad_words(), dtype=np.uint32),
-                index.text_packed.astype(np.uint32),
-            ]))
-            if index.text_packed is not None
-            else None
-        ),
+        # TEXT_PAD_WORDS zero words prepended: the verify path's backward
+        # window gather never clamps (ops/verify.py).
+        text_packed=text_packed_arr,
         prefix_sums=put("prefix_sums", index.prefix_sums.astype(np.uint32)),
         sampled_sa=put("sampled_sa", row_sa),
-        text_sampled_sa=put("text_sampled_sa", text_sampled.astype(np.uint32)),
+        text_sampled_sa=text_sampled_arr,
         kmer_table=(
             # kmer_flat IS the same data: ship a placeholder instead of a
             # third copy (2.1 GB at k=14); the seed's sparse-batch fallback

@@ -84,6 +84,7 @@ class PartitionedFmIndex:
         max_partition_symbols: int,
         max_query_len: int,
         num_workers: int = 1,
+        consume_input: bool = False,
     ):
         """Split records into <= max_partition_symbols partitions and build
         each with the given FmBuildArgs (alphabet/ratio/kmer knobs apply to
@@ -109,6 +110,10 @@ class PartitionedFmIndex:
         # Global layout (identical to a monolithic build).
         headers = [h for h, _ in records]
         seqs = [normalize_text(alphabet, s).tobytes() for _, s in records]
+        if consume_input:
+            # Pan-genome corpora are RAM-scale; holding the caller's record
+            # list alongside global_text doubles the resident corpus.
+            records.clear()
         seq_starts = np.zeros(len(records), dtype=np.int64)
         off = 0
         for i, s in enumerate(seqs):

@@ -50,7 +50,8 @@ def main() -> None:
         ),
         max_partition_symbols=cfg["partition_cap"],
         max_query_len=cfg["max_query_len"],
-        num_workers=int(os.environ.get("AWRY_PANGENOME_WORKERS", "2")),
+        num_workers=int(os.environ.get("AWRY_PANGENOME_WORKERS", "1")),
+        consume_input=True,
     )
     del records
     pfm.save(cache_dir)
