@@ -114,7 +114,7 @@ class PartitionedFmIndex:
             # Pan-genome corpora are RAM-scale; holding the caller's record
             # list alongside global_text doubles the resident corpus.
             records.clear()
-        seq_starts = np.zeros(len(records), dtype=np.int64)
+        seq_starts = np.zeros(len(seqs), dtype=np.int64)
         off = 0
         for i, s in enumerate(seqs):
             if i > 0:

@@ -198,3 +198,27 @@ def test_partitioned_count_locate_arrays(rng):
         assert int(counts[i]) == he.count(mono, q), q
         got = sorted(zip(rec[offsets[i]:offsets[i+1]].tolist(), loc[offsets[i]:offsets[i+1]].tolist()))
         assert got == sorted(he.locate(mono, q)), q
+
+
+def test_consume_input_builds_identically(rng):
+    """consume_input=True clears the caller's record list but must not
+    change the built federation (round-4 OOM fix regression)."""
+    recs = [(f"r{i}", bytes(rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=400)))
+            for i in range(3)]
+    import copy
+    args = FmBuildArgs(alphabet=Alphabet.NUCLEOTIDE, lookup_table_kmer_len=2,
+                       locate_mark_ratio=2)
+    a = PartitionedFmIndex.build_from_records(
+        copy.deepcopy(recs), args, max_partition_symbols=600, max_query_len=8)
+    consumed = copy.deepcopy(recs)
+    b = PartitionedFmIndex.build_from_records(
+        consumed, args, max_partition_symbols=600, max_query_len=8,
+        consume_input=True)
+    assert consumed == []
+    assert len(a.partitions) == len(b.partitions)
+    np.testing.assert_array_equal(a.seq_starts, b.seq_starts)
+    queries = [recs[i][1][o:o+6] for i in range(3) for o in (0, 100, 394)]
+    ca = a.count_batch(queries)
+    cb = b.count_batch(queries)
+    np.testing.assert_array_equal(ca, cb)
+    assert (np.asarray(ca) >= 1).all()
