@@ -92,10 +92,11 @@ def run(k, force_classic):
 
 
 def main():
-    r14 = run(14, True)
-    r13 = run(13, True)  # same harness for a fair same-session comparison
-    log(f"=== k13 classic {r13:,.0f} | k14 classic {r14:,.0f} "
-        f"({r14/r13:.2f}x) ===")
+    ks = [int(a) for a in sys.argv[1:]] or [14, 13]
+    rs = {k: run(k, True) for k in ks}
+    base = rs[ks[-1]]
+    for k in ks:
+        log(f"=== k{k} classic {rs[k]:,.0f} ({rs[k]/base:.2f}x vs k{ks[-1]}) ===")
 
 
 if __name__ == "__main__":
