@@ -105,7 +105,6 @@ CONFIGS = [
     # 512k the seed/rank/backstep sweeps engage.  (The final mark-rank SA
     # read stays a plain element gather: a 3.1 GB sa_sweep copy would not
     # fit HBM.)
-    dict(name="grch38_3.1Gbp_dna", kind="dna", n=3_100_000_000, nq=524_288, qlen=100, k=13, mark=4),
     # Repetitive-text config (round-2 verdict task 6): ~35% of the text is
     # mutated copies of a small repeat family (Alu-like), so text-drawn
     # 30-mers have a heavy-tailed hit distribution (~159 hits/query) - wide
@@ -121,6 +120,13 @@ CONFIGS = [
          note="exact full locate: ~159 hits/query; e2e bound by the "
               "~26 MB/s host relay moving ~333 MB of positions per batch "
               "(locations_per_sec and device q/s isolate the engine)"),
+    # GRCh38 runs AFTER every 250 Mbp-class config: its cold build (3.1 Gbp
+    # SA-IS, ~25 min) is the single longest phase in the matrix, and a
+    # driver timeout inside it must not cost the cheaper rows.  "heavy"
+    # configs additionally skip the cold build entirely once the heavy
+    # deadline passes (a cached index always serves).
+    dict(name="grch38_3.1Gbp_dna", kind="dna", n=3_100_000_000, nq=524_288, qlen=100,
+         k=13, mark=4, heavy=True),
     # Pan-genome (BASELINE.json config #5): >10 Gbp federated across 4
     # partitions (PartitionedFmIndex, exact overlap-tail semantics), all
     # four served from ONE chip here (deployments place partitions on their
@@ -179,20 +185,32 @@ def _merge_previous(results: list[dict]) -> list[dict]:
     """Carry forward configs the current run has not (re)measured: an
     interrupted run must never erase the last full matrix (round-3 verdict
     task 7 — commit 30e517c had to hand-restore exactly this).  Rows kept
-    from the previous file are tagged "carried_from_previous_run"."""
+    from the previous file are tagged "carried_from_previous_run".  A row
+    this run only SKIPPED (deadline guard, missing cache) likewise yields to
+    a previous measured row — a skip is an absence of data, not data."""
     try:
         with open(_RESULTS_PATH) as f:
             prev = {r.get("config"): r for r in json.load(f).get("configs", [])}
     except (OSError, ValueError):
         return results
-    done = {r.get("config") for r in results}
-    carried = []
+    merged, done = [], set()
+    for r in results:
+        name = r.get("config")
+        done.add(name)
+        p = prev.get(name)
+        if "skipped" in r and p is not None and ("queries_per_sec" in p or "error" in p):
+            p = dict(p)
+            p["carried_from_previous_run"] = True
+            p["skip_note"] = r["skipped"]
+            merged.append(p)
+        else:
+            merged.append(r)
     for name, row in prev.items():
         if name not in done and ("queries_per_sec" in row or "error" in row):
             row = dict(row)
             row["carried_from_previous_run"] = True
-            carried.append(row)
-    return results + carried
+            merged.append(row)
+    return merged
 
 
 def _checkpoint(results: list[dict], partial: bool = True) -> None:
@@ -618,6 +636,10 @@ def _run_all(only) -> None:
     # (loading + uploading a 13 GB federation through the relay takes
     # minutes; a timeout mid-config wastes what a skip would have kept).
     pan_deadline = t_start + float(os.environ.get("AWRY_BENCH_PAN_DEADLINE_S", "2700"))
+    # Heavy configs (multi-Gbp cold builds, ~25 min of SA-IS) only START a
+    # cold build while this much driver budget is believed to remain; with a
+    # valid cache they always run.  A skip carries the previous measured row.
+    heavy_deadline = t_start + float(os.environ.get("AWRY_BENCH_HEAVY_DEADLINE_S", "1200"))
     for cfg in CONFIGS:
         if only and cfg["name"] not in only:
             continue
@@ -625,7 +647,18 @@ def _run_all(only) -> None:
             _checkpoint(_results + [row])
 
         try:
-            if cfg["kind"] == "pangenome":
+            if (
+                cfg.get("heavy")
+                and not only
+                and not os.path.exists(os.path.join(CACHE_DIR, cfg["name"] + ".npz"))
+                and time.perf_counter() > heavy_deadline
+            ):
+                results.append({
+                    "config": cfg["name"],
+                    "skipped": "no cached index and the heavy-build deadline passed "
+                               "(cold 3.1 Gbp SA-IS build ~25 min; previous row carried)",
+                })
+            elif cfg["kind"] == "pangenome":
                 results.append(run_pangenome(cfg, None if only else pan_deadline))
             else:
                 results.append(run_config(cfg, checkpoint_cb=flush_partial))
