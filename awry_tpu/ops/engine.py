@@ -278,6 +278,10 @@ class FmQueryEngine:
             consumer's layout)."""
 
             def wrapped(idx, qwire, qlens, **kw):
+                # Wire qlens may be uint8 (queries <= 255 symbols: 1 B/query
+                # instead of 4 through the host relay); kernels index and
+                # subtract with them, so widen once here.
+                qlens = qlens.astype(jnp.int32)
                 if wire_packed and qwire.dtype == jnp.int8:
                     # Crumb wire cannot encode a sentinel: skip the scan.
                     qt = unpack_crumbs_t(qwire, crumb_inv)
@@ -452,7 +456,13 @@ class FmQueryEngine:
         qsyms, qlens = encode_query_batch(
             self.device_index.alphabet, queries, min_batch=max(16, self._data_shards)
         )
-        return jnp.asarray(pack_wire(qsyms, qlens, self._crumb_lut)), jnp.asarray(qlens)
+        wire = pack_wire(qsyms, qlens, self._crumb_lut)
+        # uint8 length wire for <=255-symbol queries (every read-length
+        # config): 3 fewer upload bytes per query through the host relay;
+        # the device side widens to int32 at the kernel seam (wrap).
+        if qlens.max(initial=0) <= 255:
+            qlens = qlens.astype(np.uint8)
+        return jnp.asarray(wire), jnp.asarray(qlens)
 
     # -- public API --------------------------------------------------------
     def count_batch(self, queries) -> np.ndarray:

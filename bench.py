@@ -153,6 +153,7 @@ HEADLINE_METRIC = (
 
 _RESULTS_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_results.json")
 _payload: dict | None = None
+_relay: dict | None = None  # this session's measured link speed (_relay_probe)
 
 
 def log(msg: str) -> None:
@@ -176,6 +177,8 @@ def _make_payload(results: list[dict], partial: bool) -> dict:
         "api": "public count_locate_stream (encode + localize + ragged assembly included)",
         "configs": results,
     }
+    if _relay is not None:
+        payload.update(_relay)
     if partial:
         payload["partial"] = True
     return payload
@@ -620,6 +623,26 @@ def main() -> None:
         print(json.dumps(_payload), flush=True)
 
 
+def _relay_probe() -> dict:
+    """Measure this session's host<->device link (MB/s both directions, 6 MB
+    payload ~ one serving batch's wire).  The e2e numbers are relay-bound in
+    this environment (BASELINE.md roofline note) and the link speed varies
+    2-50 MB/s between driver sessions; recording it with every run makes the
+    e2e-vs-device gap attributable instead of anecdotal."""
+    import jax
+
+    x = np.zeros(6 * 1024 * 1024, dtype=np.uint8)
+    t0 = time.perf_counter()
+    d = jax.device_put(x)
+    d.block_until_ready()
+    h2d = 6 / (time.perf_counter() - t0)
+    t0 = time.perf_counter()
+    np.asarray(d)
+    d2h = 6 / (time.perf_counter() - t0)
+    d.delete()
+    return {"relay_h2d_mb_s": round(h2d, 1), "relay_d2h_mb_s": round(d2h, 1)}
+
+
 def _run_all(only) -> None:
     import jax
 
@@ -628,6 +651,12 @@ def _run_all(only) -> None:
     except Exception:  # noqa: BLE001
         pass
     log(f"platform: {jax.default_backend()}, devices: {jax.devices()}")
+    global _relay
+    try:
+        _relay = _relay_probe()
+        log(f"relay: {_relay}")
+    except Exception as e:  # noqa: BLE001
+        log(f"relay probe failed: {e}")
 
     results = []
     _checkpoint(results)  # a valid (empty-headline) payload exists from t=0
