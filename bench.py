@@ -631,6 +631,12 @@ def _relay_probe() -> dict:
     e2e-vs-device gap attributable instead of anecdotal."""
     import jax
 
+    # Warm the link both ways first: the process's FIRST d2h pays a
+    # multi-second tunnel setup (measured 6 MB at 0.1 MB/s cold vs ~13 MB/s
+    # warm) that would masquerade as bandwidth.
+    w = jax.device_put(np.zeros(256 * 1024, dtype=np.uint8))
+    np.asarray(w)
+    w.delete()
     x = np.zeros(6 * 1024 * 1024, dtype=np.uint8)
     t0 = time.perf_counter()
     d = jax.device_put(x)
