@@ -166,7 +166,9 @@ def count_locate_capped_t(
     index: FmDeviceIndex, qt: jax.Array, qlens: jax.Array, cap: int, *, no_sentinel: bool = False
 ):
     """Fused count + locate in ONE device dispatch, up to `cap` hits/query.
-    qt: int32[L, B] TRANSPOSED right-aligned queries (ops/search.py).
+    qt: int32[L, B] TRANSPOSED right-aligned queries (ops/search.py);
+    qlens: integer[B] (int32 canonical; the engine's uint8 length wire
+    promotes safely — see ops/search.py search_ranges).
 
     Returns (counts uint32[B], text_pos uint32[B, cap]); entries beyond
     counts[b] are meaningless.  Queries with more than `cap` hits report

@@ -109,7 +109,10 @@ def search_ranges(
 
     Args:
       qsyms: int32[B, L] RIGHT-ALIGNED symbol indices (pad on the left).
-      qlens: int32[B] true query lengths (0 allowed -> empty range).
+      qlens: integer[B] true query lengths (0 allowed -> empty range).
+        Canonically int32; the engine wire ships uint8 for <=255-symbol
+        batches (3 B/query less relay upload) and any integer dtype
+        promotes safely at the comparison seams.
       update_fn: optional (starts, ends, sym) -> (starts, ends) override for
         the LF-mapping step; used by the Pallas kernel path and the
         range-sharded collective path.  Defaults to rank.update_range.

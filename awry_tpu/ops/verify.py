@@ -200,7 +200,8 @@ def count_locate_verify_t(
 ):
     """Fused seed-walk-verify count+locate in one device dispatch.
     qt: int32[L, B] TRANSPOSED right-aligned queries (wire unpackers emit
-    this layout directly; ops/search.py).
+    this layout directly; ops/search.py); qlens: integer[B] (int32
+    canonical; the engine's uint8 length wire promotes safely).
 
     Returns ``(bundle, starts, ends)``; ``bundle`` is a single packed u8
     buffer (one host transfer; see unpack_verify_bundle) carrying:
