@@ -33,6 +33,7 @@ plain-gather path, so results are exact for EVERY request distribution.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -97,6 +98,8 @@ def sweep_suits(index: FmDeviceIndex, num_requests: int) -> bool:
     if index.blocks_sweep is None or num_requests > MAX_SWEEP_REQUESTS:
         return False
     nt, w = index.blocks_sweep.shape[0], index.blocks_sweep.shape[1]
+    if USE_ANCHORED:
+        return _anchored_want(nt, num_requests, 0) <= _anchored_cap(nt, w)
     return pick_window_tiles(nt, num_requests, w) >= _want_window_tiles(nt, num_requests)
 
 
@@ -216,6 +219,69 @@ def _row_select(winA, winB, local_block):
         g = jnp.take_along_axis(src, lane_b, axis=1)
         rows_t = jnp.where(sub == s, g, rows_t)
     return rows_t
+
+
+# ---------------------------------------------------------------------------
+# Anchored windows (round-4 roofline lever): per-chunk manual-DMA windows.
+#
+# The blocked sweep above pays a select chain over 2*wt tiles because
+# BlockSpec windows are block-ALIGNED and wt rounds up to a power of two: a
+# 61-tile mean chunk span costs a 512-tile chain, and that chain IS the
+# measured sparse-read cost (seed-table pair reads ~13 ms, mark=1 SA reads
+# ~8 ms per 512k chr1 batch - BASELINE.md round-4 attribution).  Anchoring
+# the window at each chunk's own first tile needs only mean-span x 1.35
+# headroom tiles (chunk spans are ~Erlang(128); std ~9% of mean), cutting
+# the chain 3-10x.  The covering S tiles are DMA'd from HBM into a
+# double-buffered VMEM scratch: the copy for chunk c+1 is issued before
+# chunk c's compute, so the stream stays pipelined exactly like the
+# BlockSpec path it replaces.  Chunks whose span still exceeds S take the
+# standard coverage fixup.  AWRY_SWEEP_BLOCKED=1 forces the old path (A/B).
+# ---------------------------------------------------------------------------
+
+USE_ANCHORED = os.environ.get("AWRY_SWEEP_BLOCKED") != "1"
+
+
+def _anchored_dma(an_ref, hbm_ref, buf_ref, sem_ref, S: int, nchunks: int):
+    """Shared double-buffered DMA prologue: start chunk c+1's window copy,
+    wait for chunk c's.  Returns (c, slot)."""
+    c = pl.program_id(0)
+    slot = jax.lax.rem(c, 2)
+
+    @pl.when(c == 0)
+    def _():
+        pltpu.make_async_copy(
+            hbm_ref.at[pl.ds(an_ref[0], S)], buf_ref.at[0], sem_ref.at[0]
+        ).start()
+
+    @pl.when(c + 1 < nchunks)
+    def _():
+        nxt = jax.lax.rem(c + 1, 2)
+        pltpu.make_async_copy(
+            hbm_ref.at[pl.ds(an_ref[c + 1], S)], buf_ref.at[nxt], sem_ref.at[nxt]
+        ).start()
+
+    pltpu.make_async_copy(
+        hbm_ref.at[pl.ds(an_ref[c], S)], buf_ref.at[slot], sem_ref.at[slot]
+    ).wait()
+    return c, slot
+
+
+def _rows_multi_anchored(buf_ref, slot, S: int, local_idxs):
+    """[w, 128] selected rows for each per-lane window-local row/block-id
+    vector in `local_idxs`; each scratch tile is loaded ONCE and serves all
+    of them (pair ranks, nr text rows)."""
+    w = buf_ref.shape[2]
+    subs = [li >> 7 for li in local_idxs]
+    lanes = [
+        jnp.broadcast_to((li & 127).astype(jnp.int32), (w, CHUNK)) for li in local_idxs
+    ]
+    outs = [jnp.zeros((w, CHUNK), dtype=jnp.uint32) for _ in local_idxs]
+    for s in range(S):
+        tile = buf_ref[slot, s]
+        for i in range(len(local_idxs)):
+            g = jnp.take_along_axis(tile, lanes[i], axis=1)
+            outs[i] = jnp.where(subs[i] == s, g, outs[i])
+    return outs
 
 
 # ---------------------------------------------------------------------------
@@ -398,7 +464,7 @@ def _unsort(sval: jax.Array, *arrays):
 # window_sweep_suits silently fall back to plain gathers otherwise).  A
 # counter ticks when a sweep kernel is TRACED into a program (once per
 # compiled shape, not per dispatch) — enough to prove the path is live.
-TRACE_COUNTS = {"occurrence_sweep": 0, "window_sweep": 0}
+TRACE_COUNTS = {"occurrence_sweep": 0, "window_sweep": 0, "window_sweep_anchored": 0}
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -416,19 +482,38 @@ def occurrence_sweep(index: FmDeviceIndex, pos: jax.Array, sym: jax.Array, *, in
     wt = pick_window_tiles(nt, r, w)
     spos, sval, win, covered_c, nchunks = _sorted_chunks(pos, val, wt)
     nwin = nt // wt
-    occ_s = pl.pallas_call(
-        _occ_kernel(index.alphabet, wt),
-        grid_spec=_grid_spec(nchunks, nwin, w, n_req=2, n_out=1, wt=wt),
-        out_shape=jax.ShapeDtypeStruct((nchunks // 8, 8, CHUNK), jnp.uint32),
-        interpret=interpret,
-    )(
-        win,
-        index.prefix_sums,
-        spos.reshape(nchunks // 8, 8, CHUNK),
-        (sval & ((1 << _VAL_SHIFT) - 1)).astype(jnp.int32).reshape(nchunks // 8, 8, CHUNK),
-        index.blocks_sweep,
-        index.blocks_sweep,
-    ).reshape(-1)
+    ssym = (sval & ((1 << _VAL_SHIFT) - 1)).astype(jnp.int32)
+    if USE_ANCHORED:
+        S = _anchored_block_tiles(nt, r, w)
+        first = (spos[::CHUNK] >> 8).astype(jnp.int32)
+        last = (spos[CHUNK - 1 :: CHUNK] >> 8).astype(jnp.int32)
+        an, covered_c = _anchors_for(first, last, nt, S)
+        occ_s = pl.pallas_call(
+            _occ_kernel_anchored(index.alphabet, S, nchunks),
+            grid_spec=_anchored_grid_spec(nchunks, w, n_req=2, n_out=1, S=S),
+            out_shape=jax.ShapeDtypeStruct((nchunks // 8, 8, CHUNK), jnp.uint32),
+            interpret=interpret,
+        )(
+            an,
+            index.prefix_sums,
+            spos.reshape(nchunks // 8, 8, CHUNK),
+            ssym.reshape(nchunks // 8, 8, CHUNK),
+            index.blocks_sweep,
+        ).reshape(-1)
+    else:
+        occ_s = pl.pallas_call(
+            _occ_kernel(index.alphabet, wt),
+            grid_spec=_grid_spec(nchunks, nwin, w, n_req=2, n_out=1, wt=wt),
+            out_shape=jax.ShapeDtypeStruct((nchunks // 8, 8, CHUNK), jnp.uint32),
+            interpret=interpret,
+        )(
+            win,
+            index.prefix_sums,
+            spos.reshape(nchunks // 8, 8, CHUNK),
+            ssym.reshape(nchunks // 8, 8, CHUNK),
+            index.blocks_sweep,
+            index.blocks_sweep,
+        ).reshape(-1)
     # Whole-chunk coverage fixup: the few uncovered chunks are recomputed by
     # the plain-gather rank on a fixed budget, so a straggler chunk no longer
     # forces the caller's full-batch fallback (see _chunk_budget).
@@ -489,28 +574,48 @@ def occurrence_sweep_pair(
     posb_p = jnp.where(idx < r, _pad_to(pos_b, npad), pos_a[r - 1])
     val_p = jnp.where(idx < r, _pad_to(val, npad), idx << _VAL_SHIFT)
     spos, sval, sposb = jax.lax.sort((pos_p, val_p, posb_p), num_keys=1)
-    win, covered_a = _chunk_windows(spos, wt)
-    maxb_blk = (sposb.reshape(nchunks, CHUNK) >> 8).astype(jnp.int32).max(axis=1)
-    covered_c = covered_a & ((maxb_blk - win * (wt * CHUNK)) < 2 * wt * CHUNK)
     ssym = (sval & ((1 << _VAL_SHIFT) - 1)).astype(jnp.int32)
-
-    occa_s, occb_s = pl.pallas_call(
-        _occ_pair_kernel(index.alphabet, wt),
-        grid_spec=_grid_spec(nchunks, nwin, w, n_req=3, n_out=2, wt=wt),
-        out_shape=(
-            jax.ShapeDtypeStruct((nchunks // 8, 8, CHUNK), jnp.uint32),
-            jax.ShapeDtypeStruct((nchunks // 8, 8, CHUNK), jnp.uint32),
-        ),
-        interpret=interpret,
-    )(
-        win,
-        index.prefix_sums,
-        spos.reshape(nchunks // 8, 8, CHUNK),
-        sposb.reshape(nchunks // 8, 8, CHUNK),
-        ssym.reshape(nchunks // 8, 8, CHUNK),
-        index.blocks_sweep,
-        index.blocks_sweep,
-    )
+    maxb_blk = (sposb.reshape(nchunks, CHUNK) >> 8).astype(jnp.int32).max(axis=1)
+    if USE_ANCHORED:
+        S = _anchored_block_tiles(nt, r, w)
+        first = (spos[::CHUNK] >> 8).astype(jnp.int32)
+        an, covered_c = _anchors_for(first, maxb_blk, nt, S)
+        occa_s, occb_s = pl.pallas_call(
+            _occ_pair_kernel_anchored(index.alphabet, S, nchunks),
+            grid_spec=_anchored_grid_spec(nchunks, w, n_req=3, n_out=2, S=S),
+            out_shape=(
+                jax.ShapeDtypeStruct((nchunks // 8, 8, CHUNK), jnp.uint32),
+                jax.ShapeDtypeStruct((nchunks // 8, 8, CHUNK), jnp.uint32),
+            ),
+            interpret=interpret,
+        )(
+            an,
+            index.prefix_sums,
+            spos.reshape(nchunks // 8, 8, CHUNK),
+            sposb.reshape(nchunks // 8, 8, CHUNK),
+            ssym.reshape(nchunks // 8, 8, CHUNK),
+            index.blocks_sweep,
+        )
+    else:
+        win, covered_a = _chunk_windows(spos, wt)
+        covered_c = covered_a & ((maxb_blk - win * (wt * CHUNK)) < 2 * wt * CHUNK)
+        occa_s, occb_s = pl.pallas_call(
+            _occ_pair_kernel(index.alphabet, wt),
+            grid_spec=_grid_spec(nchunks, nwin, w, n_req=3, n_out=2, wt=wt),
+            out_shape=(
+                jax.ShapeDtypeStruct((nchunks // 8, 8, CHUNK), jnp.uint32),
+                jax.ShapeDtypeStruct((nchunks // 8, 8, CHUNK), jnp.uint32),
+            ),
+            interpret=interpret,
+        )(
+            win,
+            index.prefix_sums,
+            spos.reshape(nchunks // 8, 8, CHUNK),
+            sposb.reshape(nchunks // 8, 8, CHUNK),
+            ssym.reshape(nchunks // 8, 8, CHUNK),
+            index.blocks_sweep,
+            index.blocks_sweep,
+        )
     occa_s, occb_s = occa_s.reshape(-1), occb_s.reshape(-1)
 
     # Whole-chunk coverage fixup on a fixed budget (see _chunk_budget).
@@ -587,17 +692,33 @@ def _sweep_visit(index: FmDeviceIndex, pos: jax.Array, pay: jax.Array, interp: b
     wt = pick_window_tiles(nt, npad, w)
     nwin = nt // wt
     spos, spay = jax.lax.sort_key_val(pos, pay)
-    win, covered_c = _chunk_windows(spos, wt)
-    step_s, mark_s = pl.pallas_call(
-        _backstep_kernel(index.alphabet, index.mark_offset, index.alphabet.ambiguity_idx, wt),
-        grid_spec=_grid_spec(nchunks, nwin, w, n_req=1, n_out=2, wt=wt),
-        out_shape=(
-            jax.ShapeDtypeStruct((nchunks // 8, 8, CHUNK), jnp.uint32),
-            jax.ShapeDtypeStruct((nchunks // 8, 8, CHUNK), jnp.uint32),
-        ),
-        interpret=interp,
-    )(win, index.prefix_sums, spos.reshape(nchunks // 8, 8, CHUNK),
-      index.blocks_sweep, index.blocks_sweep)
+    out_shapes = (
+        jax.ShapeDtypeStruct((nchunks // 8, 8, CHUNK), jnp.uint32),
+        jax.ShapeDtypeStruct((nchunks // 8, 8, CHUNK), jnp.uint32),
+    )
+    if USE_ANCHORED:
+        S = _anchored_block_tiles(nt, npad, w)
+        first = (spos[::CHUNK] >> 8).astype(jnp.int32)
+        last = (spos[CHUNK - 1 :: CHUNK] >> 8).astype(jnp.int32)
+        an, covered_c = _anchors_for(first, last, nt, S)
+        step_s, mark_s = pl.pallas_call(
+            _backstep_kernel_anchored(
+                index.alphabet, index.mark_offset, index.alphabet.ambiguity_idx, S, nchunks
+            ),
+            grid_spec=_anchored_grid_spec(nchunks, w, n_req=1, n_out=2, S=S),
+            out_shape=out_shapes,
+            interpret=interp,
+        )(an, index.prefix_sums, spos.reshape(nchunks // 8, 8, CHUNK),
+          index.blocks_sweep)
+    else:
+        win, covered_c = _chunk_windows(spos, wt)
+        step_s, mark_s = pl.pallas_call(
+            _backstep_kernel(index.alphabet, index.mark_offset, index.alphabet.ambiguity_idx, wt),
+            grid_spec=_grid_spec(nchunks, nwin, w, n_req=1, n_out=2, wt=wt),
+            out_shape=out_shapes,
+            interpret=interp,
+        )(win, index.prefix_sums, spos.reshape(nchunks // 8, 8, CHUNK),
+          index.blocks_sweep, index.blocks_sweep)
     stepped, mark = step_s.reshape(-1), mark_s.reshape(-1)
 
     # Whole-chunk coverage fixup (see _chunk_budget): walk visits routinely
@@ -690,21 +811,41 @@ def backstep_mark_sweep(index: FmDeviceIndex, rows: jax.Array, *, interpret: boo
     wt = pick_window_tiles(nt, r, w)
     spos, sval, win, covered_c, nchunks = _sorted_chunks(rows, val, wt)
     nwin = nt // wt
-    step_s, mark_s = pl.pallas_call(
-        _backstep_kernel(index.alphabet, index.mark_offset, index.alphabet.ambiguity_idx, wt),
-        grid_spec=_grid_spec(nchunks, nwin, w, n_req=1, n_out=2, wt=wt),
-        out_shape=(
-            jax.ShapeDtypeStruct((nchunks // 8, 8, CHUNK), jnp.uint32),
-            jax.ShapeDtypeStruct((nchunks // 8, 8, CHUNK), jnp.uint32),
-        ),
-        interpret=interpret,
-    )(
-        win,
-        index.prefix_sums,
-        spos.reshape(nchunks // 8, 8, CHUNK),
-        index.blocks_sweep,
-        index.blocks_sweep,
+    out_shapes = (
+        jax.ShapeDtypeStruct((nchunks // 8, 8, CHUNK), jnp.uint32),
+        jax.ShapeDtypeStruct((nchunks // 8, 8, CHUNK), jnp.uint32),
     )
+    if USE_ANCHORED:
+        S = _anchored_block_tiles(nt, r, w)
+        first = (spos[::CHUNK] >> 8).astype(jnp.int32)
+        last = (spos[CHUNK - 1 :: CHUNK] >> 8).astype(jnp.int32)
+        an, covered_c = _anchors_for(first, last, nt, S)
+        step_s, mark_s = pl.pallas_call(
+            _backstep_kernel_anchored(
+                index.alphabet, index.mark_offset, index.alphabet.ambiguity_idx, S, nchunks
+            ),
+            grid_spec=_anchored_grid_spec(nchunks, w, n_req=1, n_out=2, S=S),
+            out_shape=out_shapes,
+            interpret=interpret,
+        )(
+            an,
+            index.prefix_sums,
+            spos.reshape(nchunks // 8, 8, CHUNK),
+            index.blocks_sweep,
+        )
+    else:
+        step_s, mark_s = pl.pallas_call(
+            _backstep_kernel(index.alphabet, index.mark_offset, index.alphabet.ambiguity_idx, wt),
+            grid_spec=_grid_spec(nchunks, nwin, w, n_req=1, n_out=2, wt=wt),
+            out_shape=out_shapes,
+            interpret=interpret,
+        )(
+            win,
+            index.prefix_sums,
+            spos.reshape(nchunks // 8, 8, CHUNK),
+            index.blocks_sweep,
+            index.blocks_sweep,
+        )
     stepped, mark = step_s.reshape(-1), mark_s.reshape(-1)
     from .locate import _mark_bit_t, _mark_rank_t
     from .rank import backstep_from_rows_t, fetch_rows_t
@@ -759,6 +900,165 @@ def _text_kernel(wt: int, nr: int, k: int):
     return kernel
 
 
+def _anchored_tiles(nt: int, num_requests: int, nr: int) -> int:
+    """Static per-chunk ANCHORED window size in tiles (non-pow2) for the
+    8-word-row text/window sweeps: mean chunk span x 1.35 headroom (chunk
+    spans are ~Erlang(128); std ~9% of mean) + nr straddle rows + 1
+    alignment tile.  Chunks whose span still exceeds S take the standard
+    coverage fixup."""
+    return min(_anchored_want(nt, num_requests, nr), _anchored_cap(nt, 8))
+
+
+def _anchored_text_kernel(S: int, nr: int, k: int, nchunks: int):
+    """_text_kernel with a per-chunk anchored window: the row-select chain
+    runs over S tiles instead of 2*wt."""
+
+    def kernel(an_ref, row_ref, off_ref, hbm_ref, *out_and_scratch):
+        out_refs = out_and_scratch[:k]
+        buf_ref, sem_ref = out_and_scratch[k], out_and_scratch[k + 1]
+        c, slot = _anchored_dma(an_ref, hbm_ref, buf_ref, sem_ref, S, nchunks)
+        r = c % 8
+        local_row = (
+            row_ref[0, r, :][None, :].astype(jnp.int32) - an_ref[c] * CHUNK
+        )  # [1, 128] window-local 8-word-row index
+        o = off_ref[0, r, :].astype(jnp.int32)  # [128], in [0, 8)
+        rows = _rows_multi_anchored(
+            buf_ref, slot, S, [local_row + i for i in range(nr)]
+        )
+        for j, out in enumerate(out_refs):
+            idx = o + (k - 1 - j)
+            acc = rows[0][0]
+            for i in range(1, nr * 8):
+                acc = jnp.where(idx == i, rows[i // 8][i % 8], acc)
+            out[0, r, :] = acc
+
+    return kernel
+
+
+def _occ_pair_kernel_anchored(alphabet, S: int, nchunks: int):
+    """_occ_pair_kernel with a per-chunk anchored window (see _anchored_dma);
+    both endpoint ranks share each tile load."""
+
+    def kernel(an_ref, ps_ref, pos_ref, posb_ref, sym_ref, hbm_ref,
+               occa_ref, occb_ref, buf_ref, sem_ref):
+        c, slot = _anchored_dma(an_ref, hbm_ref, buf_ref, sem_ref, S, nchunks)
+        r = c % 8
+        base = an_ref[c] * CHUNK  # window start in BLOCK units
+        sym = sym_ref[0, r, :][None, :]
+        pos = pos_ref[0, r, :][None, :]
+        posb = posb_ref[0, r, :][None, :]
+        rows_a, rows_b = _rows_multi_anchored(
+            buf_ref, slot, S,
+            [(pos >> 8).astype(jnp.int32) - base, (posb >> 8).astype(jnp.int32) - base],
+        )
+        occa_ref[0, r, :] = _occ_from_rows_t(alphabet, rows_a, pos & jnp.uint32(255), sym)
+        occb_ref[0, r, :] = _occ_from_rows_t(alphabet, rows_b, posb & jnp.uint32(255), sym)
+
+    return kernel
+
+
+def _occ_kernel_anchored(alphabet, S: int, nchunks: int):
+    def kernel(an_ref, ps_ref, pos_ref, sym_ref, hbm_ref, occ_ref, buf_ref, sem_ref):
+        c, slot = _anchored_dma(an_ref, hbm_ref, buf_ref, sem_ref, S, nchunks)
+        r = c % 8
+        base = an_ref[c] * CHUNK
+        pos = pos_ref[0, r, :][None, :]
+        sym = sym_ref[0, r, :][None, :]
+        (rows_t,) = _rows_multi_anchored(
+            buf_ref, slot, S, [(pos >> 8).astype(jnp.int32) - base]
+        )
+        occ_ref[0, r, :] = _occ_from_rows_t(alphabet, rows_t, pos & jnp.uint32(255), sym)
+
+    return kernel
+
+
+def _backstep_kernel_anchored(alphabet, mark_offset, ambiguity_idx, S: int, nchunks: int):
+    def kernel(an_ref, ps_ref, pos_ref, hbm_ref, step_ref, mark_ref, buf_ref, sem_ref):
+        c, slot = _anchored_dma(an_ref, hbm_ref, buf_ref, sem_ref, S, nchunks)
+        r = c % 8
+        base = an_ref[c] * CHUNK
+        pos = pos_ref[0, r, :][None, :]
+        (rows_t,) = _rows_multi_anchored(
+            buf_ref, slot, S, [(pos >> 8).astype(jnp.int32) - base]
+        )
+        local = pos & jnp.uint32(255)
+        sym = _symbol_from_rows_t(alphabet, rows_t, local)
+        is_sentinel = sym == 0
+        safe = jnp.where(is_sentinel, ambiguity_idx, sym)
+        occ = _occ_from_rows_t(alphabet, rows_t, local, safe)
+        stepped = _prefix_select(ps_ref, alphabet.cardinality, safe) + occ - jnp.uint32(1)
+        mark_bit = _mark_bit_from_rows_t(mark_offset, rows_t, local)
+        mark_rank = _mark_rank_from_rows_t(mark_offset, rows_t, local)
+        step_ref[0, r, :] = jnp.where(is_sentinel, jnp.uint32(0), stepped)[0]
+        mark_ref[0, r, :] = ((mark_rank << 1) | mark_bit)[0]
+
+    return kernel
+
+
+def _anchored_grid_spec(nchunks: int, w: int, n_req: int, n_out: int, S: int):
+    """PrefetchScalarGridSpec for the anchored rank/backstep kernels: scalar
+    prefetch (per-chunk anchor tiles, prefix sums), request/output blocks as
+    in _grid_spec, the table as an un-blocked ANY-space input, and the
+    double-buffered window scratch + DMA semaphores."""
+    req = pl.BlockSpec((1, 8, CHUNK), lambda c, an, ps: (c // 8, 0, 0),
+                       memory_space=pltpu.VMEM)
+    out = pl.BlockSpec((1, 8, CHUNK), lambda c, an, ps: (c // 8, 0, 0),
+                       memory_space=pltpu.VMEM)
+    return pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nchunks,),
+        in_specs=[req] * n_req + [pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=tuple(out for _ in range(n_out)) if n_out > 1 else out,
+        scratch_shapes=[
+            pltpu.VMEM((2, S, w, CHUNK), jnp.uint32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+
+def _anchored_cap(nt: int, row_words: int) -> int:
+    """VMEM bound on the anchored window: 2 buffers x S x row_words x 128 x
+    4 B must stay well inside the ~16 MB/core (<= ~8 MB)."""
+    return min(768, (8 << 20) // (2 * CHUNK * row_words * 4), nt)
+
+
+def _anchored_want(nt: int, num_requests: int, extra: int) -> int:
+    span_tiles = CHUNK * nt / max(1, num_requests)
+    return max(4, int(-(-1.35 * span_tiles // 1)) + extra + 1)
+
+
+def _anchored_block_tiles(nt: int, num_requests: int, row_words: int) -> int:
+    """Anchored window size for BLOCK-row sweeps (rank/backstep): like
+    _anchored_tiles but without the text straddle row (each request touches
+    exactly one block)."""
+    return min(_anchored_want(nt, num_requests, 0), _anchored_cap(nt, row_words))
+
+
+def _anchors_for(first: jax.Array, last: jax.Array, nt: int, S: int, extra: int = 0):
+    """Per-chunk anchor tile + coverage for sorted first/last block(or row)
+    ids; `extra` = trailing rows a lane may touch past its anchor (text nr-1)."""
+    an = jnp.clip(first >> 7, 0, nt - S).astype(jnp.int32)
+    covered_c = (((last + extra) >> 7) - an) < S
+    return an, covered_c
+
+
+def _anchored_text_grid_spec(nchunks: int, S: int, k: int):
+    req = pl.BlockSpec((1, 8, CHUNK), lambda c, an: (c // 8, 0, 0),
+                       memory_space=pltpu.VMEM)
+    out = pl.BlockSpec((1, 8, CHUNK), lambda c, an: (c // 8, 0, 0),
+                       memory_space=pltpu.VMEM)
+    return pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nchunks,),
+        in_specs=[req, req, pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=tuple(out for _ in range(k)),
+        scratch_shapes=[
+            pltpu.VMEM((2, S, 8, CHUNK), jnp.uint32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+
 def _text_grid_spec(nchunks: int, nwin: int, wt: int, k: int):
     req = pl.BlockSpec((1, 8, CHUNK), lambda c, cw: (c // 8, 0, 0),
                        memory_space=pltpu.VMEM)
@@ -791,6 +1091,8 @@ def window_sweep_suits(sweep_arr, num_requests: int) -> bool:
     if sweep_arr is None or num_requests > MAX_SWEEP_REQUESTS:
         return False
     nt = sweep_arr.shape[0]
+    if USE_ANCHORED:
+        return _anchored_want(nt, num_requests, 2) <= _anchored_cap(nt, 8)
     return pick_window_tiles(nt, num_requests, 8) >= _want_window_tiles(nt, num_requests)
 
 
@@ -891,24 +1193,48 @@ def _window_sweep_core(sweep_arr, flat_len: int, wbase: jax.Array, k: int, inter
     sanc, sval = jax.lax.sort_key_val(anc_p, val_p)
     first = sanc[::CHUNK].astype(jnp.int32)
     last = sanc[CHUNK - 1 :: CHUNK].astype(jnp.int32)
-    win = first // (wt * CHUNK)
-    covered_c = (last + (nr - 1) - win * (wt * CHUNK)) < 2 * wt * CHUNK
     soff = (sval & 7).astype(jnp.int32)
 
-    outs = pl.pallas_call(
-        _text_kernel(wt, nr, k),
-        grid_spec=_text_grid_spec(nchunks, nwin, wt, k),
-        out_shape=tuple(
-            jax.ShapeDtypeStruct((nchunks // 8, 8, CHUNK), jnp.uint32) for _ in range(k)
-        ),
-        interpret=interpret,
-    )(
-        win,
-        sanc.reshape(nchunks // 8, 8, CHUNK),
-        soff.reshape(nchunks // 8, 8, CHUNK),
-        sweep_arr,
-        sweep_arr,
-    )
+    if USE_ANCHORED:
+        # Per-chunk ANCHORED window (manual double-buffered DMA).  The
+        # select chain shrinks from 2*wt pow2-rounded tiles to ~1.35x the
+        # mean chunk span — the dominant sparse-read cost on the seed-table
+        # and SA reads (round-4 roofline note).
+        TRACE_COUNTS["window_sweep_anchored"] += 1
+        S = _anchored_tiles(nt, r, nr)
+        an, covered_c = _anchors_for(first, last, nt, S, extra=nr - 1)
+        outs = pl.pallas_call(
+            _anchored_text_kernel(S, nr, k, nchunks),
+            grid_spec=_anchored_text_grid_spec(nchunks, S, k),
+            out_shape=tuple(
+                jax.ShapeDtypeStruct((nchunks // 8, 8, CHUNK), jnp.uint32)
+                for _ in range(k)
+            ),
+            interpret=interpret,
+        )(
+            an,
+            sanc.reshape(nchunks // 8, 8, CHUNK),
+            soff.reshape(nchunks // 8, 8, CHUNK),
+            sweep_arr,
+        )
+    else:
+        win = first // (wt * CHUNK)
+        covered_c = (last + (nr - 1) - win * (wt * CHUNK)) < 2 * wt * CHUNK
+        outs = pl.pallas_call(
+            _text_kernel(wt, nr, k),
+            grid_spec=_text_grid_spec(nchunks, nwin, wt, k),
+            out_shape=tuple(
+                jax.ShapeDtypeStruct((nchunks // 8, 8, CHUNK), jnp.uint32)
+                for _ in range(k)
+            ),
+            interpret=interpret,
+        )(
+            win,
+            sanc.reshape(nchunks // 8, 8, CHUNK),
+            soff.reshape(nchunks // 8, 8, CHUNK),
+            sweep_arr,
+            sweep_arr,
+        )
     outs = [o.reshape(-1) for o in outs]
     swb = (sanc.astype(jnp.uint32) << 3) + soff.astype(jnp.uint32) + jnp.uint32(k - 1)
     return outs, covered_c, sval, swb, nchunks, r

@@ -259,3 +259,65 @@ def test_window_sweep_generalized_reads(rng):
         window_sweep(sweep, flat_d, jnp.asarray((rr << 3) | 7), 8, interpret=True)
     )
     np.testing.assert_array_equal(words[:, ::-1], flat.reshape(-1, 8)[rr])
+
+
+def test_window_sweep_anchored_sparse(rng):
+    """Sparse batches route through the ANCHORED window path (per-chunk
+    manual-DMA windows; select chain ~1.35x the mean chunk span instead of
+    2*wt pow2-rounded tiles) and stay exact — element reads, seed pairs,
+    fat rows, table edges, and a chunk whose span exceeds the anchored
+    window (coverage fixup)."""
+    import jax.numpy as jnp
+
+    from awry_tpu.ops.sweep import (
+        TRACE_COUNTS,
+        build_sweep_blocks,
+        pick_window_tiles,
+        window_sweep,
+        window_sweep_cov,
+        window_sweep_suits,
+    )
+
+    n = 512 * 128 * 8  # 512 tiles of 8-word rows (the minimum pad quantum)
+    flat = rng.integers(0, 2**32, size=n, dtype=np.uint64).astype(np.uint32)
+    sweep = jnp.asarray(build_sweep_blocks(flat.reshape(-1, 8)))
+    flat_d = jnp.asarray(flat)
+    r = 1024
+    assert window_sweep_suits(sweep, r)
+    assert pick_window_tiles(sweep.shape[0], r, 8) > 8  # sparse: anchored regime
+
+    before = TRACE_COUNTS["window_sweep_anchored"]
+    # Element reads incl. both table edges (anchor clamping).
+    idx = rng.integers(1, n, size=r).astype(np.uint32)
+    idx[0], idx[-1] = 1, n - 1
+    out = np.asarray(window_sweep(sweep, flat_d, jnp.asarray(idx), 2, interpret=True))
+    np.testing.assert_array_equal(out[:, 0], flat[idx])
+    np.testing.assert_array_equal(out[:, 1], flat[idx - 1])
+    assert TRACE_COUNTS["window_sweep_anchored"] > before
+
+    # Seed-pair reads.
+    a = rng.integers(0, n // 2, size=r).astype(np.uint32)
+    pair = np.asarray(
+        window_sweep(sweep, flat_d, jnp.asarray((a << 1) | 1), 2, interpret=True)
+    )
+    np.testing.assert_array_equal(pair[:, 1], flat[2 * a])
+    np.testing.assert_array_equal(pair[:, 0], flat[2 * a + 1])
+
+    # Fat rows through window_sweep_cov (the slim slot-verify path).
+    rr = rng.integers(0, n // 8, size=r).astype(np.uint32)
+    words, cov = window_sweep_cov(
+        sweep, n, jnp.asarray((rr << 3) | 7), 8, interpret=True
+    )
+    words = np.asarray(words)[np.asarray(cov)]
+    np.testing.assert_array_equal(
+        words[:, ::-1], flat.reshape(-1, 8)[rr[np.asarray(cov)]]
+    )
+    assert np.asarray(cov).mean() > 0.9
+
+    # One chunk spread across the whole table: span > anchored window, so
+    # its lanes take the coverage fixup yet stay exact.
+    wide = np.linspace(8, n - 1, num=CHUNK, dtype=np.uint32)
+    idx2 = np.concatenate([wide, rng.integers(1, n, size=r - CHUNK).astype(np.uint32)])
+    out2 = np.asarray(window_sweep(sweep, flat_d, jnp.asarray(idx2), 2, interpret=True))
+    np.testing.assert_array_equal(out2[:, 0], flat[idx2])
+    np.testing.assert_array_equal(out2[:, 1], flat[idx2 - 1])
