@@ -153,6 +153,7 @@ def search_ranges_t(
     1..k-1 provably have no active lane) and drops the per-step
     any(active) reduce + cond (the where-mask alone keeps frozen lanes
     exact) - ~13 batch-wide reductions saved per 30 bp dispatch."""
+    sweep_mode = False
     if update_fn is None:
         from .sweep import sweep_suits
 
@@ -162,6 +163,7 @@ def search_ranges_t(
             # sparse for guaranteed window coverage stay on plain gathers.
             from .sweep import sweep_update_range
 
+            sweep_mode = True
             update_fn = lambda s, e, sym: sweep_update_range(index, s, e, sym)  # noqa: E731
         else:
             update_fn = lambda s, e, sym: update_range(index, s, e, sym)  # noqa: E731
@@ -244,8 +246,35 @@ def search_ranges_t(
 
     upper = L if num_steps is None else min(L, num_steps)
     lower = max(1, k) if (seeded_floor and k > 0 and L >= k) else 1
+    chain_ok = False
+    if sweep_mode and k > 0 and L >= k and upper > k:
+        from .sweep import USE_ANCHORED, _auto_interpret, seeded_chain_fits
+
+        chain_ok = USE_ANCHORED and seeded_chain_fits(index, qt.shape[1], upper - k)
     if upper > lower:
-        if not seeded_floor and k > 1 and L >= k and upper > k:
+        if chain_ok:
+            # Sorted-domain seeded chain (ops/sweep.py seeded_pair_chain):
+            # the few post-seed rank steps run with ONE sort each (symbols
+            # ride the payload) instead of sweep_update_range's sort +
+            # unsort per step.  Applies when every lane k-mer-seeded; the
+            # generic masked loop stays as the runtime fallback branch.
+            from .sweep import seeded_pair_chain
+
+            def chain(a, b):
+                return seeded_pair_chain(
+                    index, a, b, qt, qlens, k, upper, interpret=_auto_interpret()
+                )
+
+            if seeded_floor:
+                s0, e0 = chain(s0, e0)
+            else:
+                s0, e0 = jax.lax.cond(
+                    jnp.all(all_dense),
+                    chain,
+                    lambda a, b: jax.lax.fori_loop(lower, upper, body, (a, b)),
+                    s0, e0,
+                )
+        elif not seeded_floor and k > 1 and L >= k and upper > k:
             # Runtime fast path: when EVERY lane k-mer-seeded (one reduce),
             # start the loop at step k and drop the 13-odd per-step
             # any(active) reductions; otherwise take the generic masked

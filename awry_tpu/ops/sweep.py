@@ -451,12 +451,13 @@ def _compact_flagged_chunks(covered_c: jax.Array, budget: int):
 
 def _unsort(sval: jax.Array, *arrays):
     """Restore original request order (sval is unique and increasing in the
-    original id); drop padded tail lanes at the caller via [:r]."""
-    outs = []
-    for a in arrays:
-        _, out = jax.lax.sort_key_val(sval, a)
-        outs.append(out)
-    return outs
+    original id); drop padded tail lanes at the caller via [:r].
+
+    ONE multi-operand lax.sort carries every payload: at 512k requests a
+    sort costs ~2.5 ms on a v5e and the per-array sort_key_val form paid it
+    once per output (round-5 profiling: sorts, not the select chains, had
+    become the sweep-path bottleneck)."""
+    return list(jax.lax.sort((sval, *arrays), num_keys=1)[1:])
 
 
 # Trace-time dispatch counters: tests and multichip dryruns assert the
@@ -464,7 +465,12 @@ def _unsort(sval: jax.Array, *arrays):
 # window_sweep_suits silently fall back to plain gathers otherwise).  A
 # counter ticks when a sweep kernel is TRACED into a program (once per
 # compiled shape, not per dispatch) — enough to prove the path is live.
-TRACE_COUNTS = {"occurrence_sweep": 0, "window_sweep": 0, "window_sweep_anchored": 0}
+TRACE_COUNTS = {
+    "occurrence_sweep": 0,
+    "window_sweep": 0,
+    "window_sweep_anchored": 0,
+    "seeded_chain": 0,
+}
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -674,6 +680,124 @@ def sweep_update_range(index: FmDeviceIndex, starts, ends, sym):
     occ_a, occ_b = jax.lax.cond(jnp.all(cov), lambda: (occ_a, occ_b), fixup)
     c = prefix_sum_select(index, sym)
     return c + occ_a, c + occ_b - jnp.uint32(1)
+
+
+def seeded_chain_fits(index: FmDeviceIndex, batch: int, steps: int) -> bool:
+    """True when seeded_pair_chain's payload packing fits int32 for this
+    (batch, post-seed step count): id bits + steps x symbol bits + active-
+    count bits <= 31."""
+    if steps <= 0 or steps > 6 or index.blocks_sweep is None:
+        return False
+    sb = max(1, (index.alphabet.cardinality - 1).bit_length())
+    nb = max(1, steps.bit_length())
+    npad_max = ((batch + CHUNK - 1) // CHUNK + 7) // 8 * 8 * CHUNK
+    return npad_max <= (1 << (31 - steps * sb - nb))
+
+
+def seeded_pair_chain(index: FmDeviceIndex, s0, e0, qt, qlens, k: int, upper: int,
+                      *, interpret: bool = False):
+    """Post-seed backward-search steps k..upper-1 entirely in the SORTED
+    request domain: ONE 3-operand sort per step (key = this step's low
+    endpoint; the per-lane step symbols and active-step count ride in the
+    payload) plus one final unsort — replacing sweep_update_range's
+    per-step sort + unsort + implicit re-sort.  At 512k lanes a sort costs
+    ~2.5 ms on a v5e and the old form paid ~3 per step (round-5 profiling:
+    sorts, not select chains, bound the rank steps after the anchored
+    windows landed).
+
+    Endpoint convention: pos_a = start-1, pos_b = end (the two rank-query
+    positions of the LF update, src/fm_index.rs:559-582); nonempty iff
+    pos_a < pos_b.  Seed-miss lanes canonicalize to the empty (1, 0) range
+    (pos 0: they cluster in the first chunk instead of blowing the sorted
+    span).  Frozen lanes (exhausted qlens, empties) carry their range
+    through the sort untouched.  Returns (starts, ends) in request order.
+    """
+    from .rank import occurrence, prefix_sum_select
+
+    TRACE_COUNTS["seeded_chain"] += 1
+    steps = upper - k
+    B = s0.shape[0]
+    sb = max(1, (index.alphabet.cardinality - 1).bit_length())
+    nb = max(1, steps.bit_length())
+    L = qt.shape[0]
+    n_act = jnp.clip(qlens.astype(jnp.int32) - k, 0, steps)
+    pay = (jnp.arange(B, dtype=jnp.int32) << (steps * sb + nb)) | n_act
+    for i in range(steps):
+        pay = pay | (qt[L - 1 - (k + i)].astype(jnp.int32) << (nb + i * sb))
+
+    nt = index.blocks_sweep.shape[0]
+    w = index.blocks_sweep.shape[1]
+    nchunks = (-(-B // CHUNK) + 7) // 8 * 8
+    npad = nchunks * CHUNK
+    idx = jnp.arange(npad, dtype=jnp.int32)
+    empty0 = s0 > e0
+    pa = jnp.where(empty0, jnp.uint32(0), s0 - jnp.uint32(1))
+    pb = jnp.where(empty0, jnp.uint32(0), e0)
+    pos_a = jnp.where(idx < B, _pad_to(pa, npad), jnp.uint32(0))
+    pos_b = jnp.where(idx < B, _pad_to(pb, npad), jnp.uint32(0))
+    # Padding lanes: n_act = 0 (frozen), ids above every real id.
+    pay = jnp.where(idx < B, _pad_to(pay, npad), idx << (steps * sb + nb))
+
+    S = _anchored_block_tiles(nt, npad, w)
+    bc = _chunk_budget(nchunks)
+    out_shapes = (
+        jax.ShapeDtypeStruct((nchunks // 8, 8, CHUNK), jnp.uint32),
+        jax.ShapeDtypeStruct((nchunks // 8, 8, CHUNK), jnp.uint32),
+    )
+    for i in range(steps):
+        spa, spay, spb = jax.lax.sort((pos_a, pay, pos_b), num_keys=1)
+        shift = nb + i * sb
+        first = (spa[::CHUNK] >> 8).astype(jnp.int32)
+        maxb = (spb.reshape(nchunks, CHUNK) >> 8).astype(jnp.int32).max(axis=1)
+        an, covered_c = _anchors_for(first, maxb, nt, S)
+        occa_s, occb_s = pl.pallas_call(
+            _occ_pair_pay_kernel_anchored(index.alphabet, S, nchunks, shift, sb),
+            grid_spec=_anchored_grid_spec(nchunks, w, n_req=3, n_out=2, S=S),
+            out_shape=out_shapes,
+            interpret=interpret,
+        )(
+            an,
+            index.prefix_sums,
+            spa.reshape(nchunks // 8, 8, CHUNK),
+            spb.reshape(nchunks // 8, 8, CHUNK),
+            spay.reshape(nchunks // 8, 8, CHUNK),
+            index.blocks_sweep,
+        )
+        occ_a, occ_b = occa_s.reshape(-1), occb_s.reshape(-1)
+
+        sym_s = ((spay >> shift) & jnp.int32((1 << sb) - 1)).astype(jnp.int32)
+        fcidx, fvalid, overflow = _compact_flagged_chunks(covered_c, bc)
+        spa2 = spa.reshape(nchunks, CHUNK)
+        spb2 = spb.reshape(nchunks, CHUNK)
+        sym2 = sym_s.reshape(nchunks, CHUNK)
+        fsym = sym2[fcidx].reshape(-1)
+        fix_a = occurrence(index, spa2[fcidx].reshape(-1), fsym)
+        fix_b = occurrence(index, spb2[fcidx].reshape(-1), fsym)
+        dst = jnp.where(fvalid, fcidx, nchunks)
+        occ_a = occ_a.reshape(nchunks, CHUNK).at[dst].set(
+            fix_a.reshape(bc, CHUNK), mode="drop").reshape(-1)
+        occ_b = occ_b.reshape(nchunks, CHUNK).at[dst].set(
+            fix_b.reshape(bc, CHUNK), mode="drop").reshape(-1)
+
+        def full_fix(occ_a=occ_a, occ_b=occ_b, spa=spa, spb=spb, sym_s=sym_s,
+                     covered_c=covered_c):
+            cov = jnp.broadcast_to(covered_c[:, None], (nchunks, CHUNK)).reshape(-1)
+            oa = jnp.where(cov, occ_a, occurrence(index, spa, sym_s))
+            ob = jnp.where(cov, occ_b, occurrence(index, spb, sym_s))
+            return oa, ob
+
+        occ_a, occ_b = jax.lax.cond(
+            overflow, full_fix, lambda a=occ_a, b=occ_b: (a, b)
+        )
+        cpre = prefix_sum_select(index, sym_s)
+        nact_s = spay & jnp.int32((1 << nb) - 1)
+        active = (jnp.int32(i) < nact_s) & (spa < spb)
+        pos_a = jnp.where(active, cpre + occ_a - jnp.uint32(1), spa)
+        pos_b = jnp.where(active, cpre + occ_b - jnp.uint32(1), spb)
+        pay = spay
+
+    _, fa, fb = jax.lax.sort((pay, pos_a, pos_b), num_keys=1)
+    return fa[:B] + jnp.uint32(1), fb[:B]
 
 
 def _sweep_visit(index: FmDeviceIndex, pos: jax.Array, pay: jax.Array, interp: bool):
@@ -945,6 +1069,30 @@ def _occ_pair_kernel_anchored(alphabet, S: int, nchunks: int):
         r = c % 8
         base = an_ref[c] * CHUNK  # window start in BLOCK units
         sym = sym_ref[0, r, :][None, :]
+        pos = pos_ref[0, r, :][None, :]
+        posb = posb_ref[0, r, :][None, :]
+        rows_a, rows_b = _rows_multi_anchored(
+            buf_ref, slot, S,
+            [(pos >> 8).astype(jnp.int32) - base, (posb >> 8).astype(jnp.int32) - base],
+        )
+        occa_ref[0, r, :] = _occ_from_rows_t(alphabet, rows_a, pos & jnp.uint32(255), sym)
+        occb_ref[0, r, :] = _occ_from_rows_t(alphabet, rows_b, posb & jnp.uint32(255), sym)
+
+    return kernel
+
+
+def _occ_pair_pay_kernel_anchored(alphabet, S: int, nchunks: int, shift: int, sb: int):
+    """_occ_pair_kernel_anchored with the step symbol extracted from the
+    sort PAYLOAD (bits [shift, shift+sb)) instead of a separate request
+    operand — the seeded sorted-domain chain (seeded_pair_chain) never
+    materializes per-step symbol arrays in request order."""
+
+    def kernel(an_ref, ps_ref, pos_ref, posb_ref, pay_ref, hbm_ref,
+               occa_ref, occb_ref, buf_ref, sem_ref):
+        c, slot = _anchored_dma(an_ref, hbm_ref, buf_ref, sem_ref, S, nchunks)
+        r = c % 8
+        base = an_ref[c] * CHUNK
+        sym = (pay_ref[0, r, :][None, :] >> shift) & jnp.int32((1 << sb) - 1)
         pos = pos_ref[0, r, :][None, :]
         posb = posb_ref[0, r, :][None, :]
         rows_a, rows_b = _rows_multi_anchored(

@@ -178,6 +178,18 @@ def compare_text_suffixes(
 
 
 WIDE_CAP = 4  # candidate rows verified per wide lane inside the fused kernel
+# Slot-verify extended pass: lanes whose seed width is WIDE_CAP+1..SLOT_EXT
+# verify through ext_groups(B) compacted groups of SLOT_EXT candidate slots
+# (count_locate_slots_t) instead of re-dispatching.
+SLOT_EXT = 8
+
+
+def ext_groups(batch: int) -> int:
+    """Extended-slot budget: ~2% of lanes sit in the WIDE_CAP+1..SLOT_EXT
+    width band at slot-regime depths (Poisson tail of the ~1 expected seed
+    width); batch/32 groups give 1.6x headroom at the recorded chr20 rate.
+    Overflow lanes fall back to the classic redispatch."""
+    return max(16, batch // 32)
 
 
 def wide_groups(batch: int) -> int:
@@ -441,32 +453,51 @@ def count_locate_slots_t(
         window_sweep_suits,
     )
 
-    N = B * WIDE_CAP
     flat_len = index.bwt_len * rw
-    if index.vw_sweep is not None and window_sweep_suits(index.vw_sweep, N):
-        wbase = (slot_rows.reshape(-1) * jnp.uint32(rw)) | jnp.uint32(rw - 1)
-        if index.vw_flat is not None:
-            # Flat fixup copy available (VMEM regime): uncovered chunks are
-            # re-served in place, no re-dispatch.
-            words = window_sweep(
-                index.vw_sweep, index.vw_flat, wbase, rw, interpret=_auto_interpret()
-            )
-            cov = jnp.ones((B, WIDE_CAP), dtype=bool)
-        else:
+
+    def read_fat(rows_flat):
+        """(fat [N, rw] word rows in ascending order, covered bool [N]) for
+        flat candidate row ids, from whichever fat source this batch shape
+        reaches (sorted sweep with/without flat fixup, plain gather, none)."""
+        nreq = rows_flat.shape[0]
+        if index.vw_sweep is not None and window_sweep_suits(index.vw_sweep, nreq):
+            wbase = (rows_flat * jnp.uint32(rw)) | jnp.uint32(rw - 1)
+            if index.vw_flat is not None:
+                # Flat fixup copy available (VMEM regime): uncovered chunks
+                # are re-served in place, no re-dispatch.
+                words = window_sweep(
+                    index.vw_sweep, index.vw_flat, wbase, rw, interpret=_auto_interpret()
+                )
+                return words[:, ::-1], jnp.ones((nreq,), dtype=bool)
             words, cov = window_sweep_cov(
                 index.vw_sweep, flat_len, wbase, rw, interpret=_auto_interpret()
             )
-            cov = cov.reshape(B, WIDE_CAP)
-        fat = words[:, ::-1].reshape(B, WIDE_CAP, rw)
-    elif index.verify_windows is not None:
-        fat = index.verify_windows[slot_rows.reshape(-1).astype(jnp.int32), :rw]
-        fat = fat.reshape(B, WIDE_CAP, rw)
-        cov = jnp.ones((B, WIDE_CAP), dtype=bool)
-    else:
-        # No fat source reachable for this batch shape: every candidate
-        # lane re-dispatches (exactness preserved; tiny batches land here).
-        fat = jnp.zeros((B, WIDE_CAP, rw), dtype=jnp.uint32)
-        cov = jnp.zeros((B, WIDE_CAP), dtype=bool)
+            return words[:, ::-1], cov
+        if index.verify_windows is not None:
+            fat = index.verify_windows[rows_flat.astype(jnp.int32), :rw]
+            return fat, jnp.ones((nreq,), dtype=bool)
+        if index.vw_sweep is not None:
+            # Sweep-unsuitable shape (tiny or hyper-sparse batch) with only
+            # the tiled layout shipped: the tiled layout is a permutation of
+            # the flat words — flat[x] = sweep[(x>>3)>>7, x&7, (x>>3)&127] —
+            # so a coordinate gather serves it exactly (issue-bound, fine at
+            # these request counts).
+            x = rows_flat[:, None].astype(jnp.uint32) * jnp.uint32(rw) + jnp.arange(
+                rw, dtype=jnp.uint32
+            )[None, :]
+            r3 = (x >> 3).astype(jnp.int32)
+            fat = index.vw_sweep[r3 >> 7, (x & 7).astype(jnp.int32), r3 & 127]
+            return fat, jnp.ones((nreq,), dtype=bool)
+        # No fat source at all for this batch shape: every candidate lane
+        # re-dispatches (exactness preserved).
+        return (
+            jnp.zeros((nreq, rw), dtype=jnp.uint32),
+            jnp.zeros((nreq,), dtype=bool),
+        )
+
+    fat_flat, cov_flat = read_fat(slot_rows.reshape(-1))
+    fat = fat_flat.reshape(B, WIDE_CAP, rw)
+    cov = cov_flat.reshape(B, WIDE_CAP)
 
     mask_sym = jnp.uint32((1 << bits) - 1)
     p_slot = fat[:, :, w]
@@ -484,13 +515,65 @@ def count_locate_slots_t(
     pos_adj = p_slot - rem[:, None]
     lane_cov = (cov | ~slot_valid).all(axis=1)
     counts_v = ok.sum(axis=1).astype(jnp.uint32)
-
     settled = fits & lane_cov
+
+    # Extended slot pass (width WIDE_CAP+1 .. SLOT_EXT): at slot-regime
+    # depths the expected seed width is ~1, so the Poisson tail puts ~1-2%
+    # of 512k lanes past WIDE_CAP (chr20 recorded redis_rate 0.016) — and
+    # each previously forced a synchronous classic re-dispatch per batch,
+    # keeping the engine's fast path dark.  Those lanes compact into
+    # ext_groups(B) groups of SLOT_EXT candidate slots, verify in THIS
+    # dispatch, and settle when at most one candidate survives (true
+    # multi-hit extended lanes stay redis: P ~ 1e-5 on unique reads, and
+    # their positions would not fit the WIDE_CAP-slot wide-meta).
+    ext = long_enough & (width > WIDE_CAP) & (width <= SLOT_EXT)
+    Gx = ext_groups(B)
+    csum_x = jnp.cumsum(ext.astype(jnp.int32))
+    lane_xg = jnp.searchsorted(
+        csum_x, jnp.arange(1, Gx + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+    valid_x = lane_xg < B
+    lane_sx = jnp.where(valid_x, lane_xg, 0)
+    w_x = jnp.where(valid_x, width[lane_sx], jnp.uint32(0))
+    jx = jnp.arange(SLOT_EXT, dtype=jnp.uint32)
+    sv_x = jx[None, :] < w_x[:, None]  # [Gx, SLOT_EXT]
+    jclip_x = jnp.minimum(jx[None, :], jnp.maximum(w_x, jnp.uint32(1))[:, None] - 1)
+    rows_x = starts[lane_sx][:, None] + jclip_x
+    fat_xf, cov_xf = read_fat(rows_x.reshape(-1))
+    fat_x = fat_xf.reshape(Gx, SLOT_EXT, rw)
+    cov_x = cov_xf.reshape(Gx, SLOT_EXT)
+    qt_x = qt[:, lane_sx]  # [L, Gx]
+    l_x = qlens[lane_sx]
+    p_x = fat_x[:, :, w]
+    okc_x = jnp.ones((Gx, SLOT_EXT), dtype=bool)
+    for d in range(s, L):
+        i, t = (d - s) // spw, (d - s) % spw
+        qsym_x = qt_x[L - 1 - d].astype(jnp.uint32)[:, None]
+        okc_x = okc_x & (
+            (((fat_x[:, :, i] >> jnp.uint32(bits * t)) & mask_sym) == qsym_x)
+            | (d >= l_x)[:, None]
+        )
+    rem_x = rem[lane_sx]
+    ok_x = okc_x & sv_x & cov_x & (p_x >= rem_x[:, None])
+    cnt_x = ok_x.sum(axis=1).astype(jnp.uint32)
+    lane_cov_x = (cov_x | ~sv_x).all(axis=1)
+    settle_xg = valid_x & lane_cov_x & (cnt_x <= 1)
+    first_x = jnp.argmax(ok_x, axis=1)
+    pos_x = jnp.take_along_axis(p_x - rem_x[:, None], first_x[:, None], axis=1)[:, 0]
+    dump_x = jnp.where(settle_xg, lane_xg, B)
+    settled_x = jnp.zeros((B + 1,), dtype=bool).at[dump_x].set(settle_xg)[:B]
+    counts_x = jnp.zeros((B + 1,), dtype=jnp.uint32).at[dump_x].set(cnt_x)[:B]
+    pos_xl = jnp.zeros((B + 1,), dtype=jnp.uint32).at[dump_x].set(pos_x)[:B]
+
     counts = jnp.where(settled, counts_v, width)
-    redis = (long_enough & (width >= 1) & ~settled) | ((width >= 1) & ~long_enough)
+    counts = jnp.where(settled_x, counts_x, counts)
+    redis = (long_enough & (width >= 1) & ~(settled | settled_x)) | (
+        (width >= 1) & ~long_enough
+    )
 
     first = jnp.argmax(ok, axis=1)
     text_pos = jnp.take_along_axis(pos_adj, first[:, None], axis=1)[:, 0]
+    text_pos = jnp.where(settled_x, pos_xl, text_pos)
 
     # Multi-hit settled lanes carry their per-slot positions through the
     # wide-meta groups (same compaction trick as the switch-step path);

@@ -89,6 +89,67 @@ def test_slots_long_queries_fall_back(rng):
         )
 
 
+def test_slots_extended_width_band(rng):
+    """Seed widths WIDE_CAP+1..SLOT_EXT settle IN-dispatch through the
+    extended slot pass (round-5: chr20's 1.6% redis rate was exactly this
+    band, and each such lane forced a synchronous classic re-dispatch that
+    kept the fast path dark).  Single-true-hit extended lanes settle (and
+    the whole batch takes the fast path); width > SLOT_EXT and extended
+    multi-hit lanes still re-dispatch and stay exact."""
+    from awry_tpu.ops.verify import SLOT_EXT, WIDE_CAP
+
+    n = 16_384  # small text: ~0.25 expected random occurrences per 8-mer seed
+    seq = bytearray(random_seq(Alphabet.NUCLEOTIDE, rng, n))
+    s_ext = bytes(random_seq(Alphabet.NUCLEOTIDE, rng, 8))
+    s_over = bytes(random_seq(Alphabet.NUCLEOTIDE, rng, 8))
+    s_multi = bytes(random_seq(Alphabet.NUCLEOTIDE, rng, 8))
+    pfx = [bytes(random_seq(Alphabet.NUCLEOTIDE, rng, 12)) for _ in range(SLOT_EXT + 2)]
+    spot = 500
+    for i in range(WIDE_CAP + 2):  # seed width ~6: the extended band
+        seq[spot : spot + 20] = pfx[i] + s_ext
+        spot += 600
+    for i in range(SLOT_EXT + 2):  # seed width ~10 > SLOT_EXT: redis
+        seq[spot : spot + 20] = pfx[i] + s_over
+        spot += 600
+    for i in range(WIDE_CAP + 2):  # extended band; pfx[1] planted twice
+        seq[spot : spot + 20] = pfx[1 if i == 2 else i] + s_multi
+        spot += 600
+    seq = bytes(seq)
+    index = build_from_records(
+        [("x", seq)], FmBuildArgs(lookup_table_kmer_len=8, locate_mark_ratio=1)
+    )
+    eng = FmQueryEngine(index, use_sweep=True)
+    assert eng._verify_slots
+
+    # Batch 1: every lane has exactly one true hit; the extended lanes must
+    # settle in-dispatch, so zero redis and the fast path fires.
+    batch1 = [pfx[0] + s_ext, pfx[1] + s_ext, pfx[WIDE_CAP + 1] + s_ext]
+    batch1 += [seq[s : s + 20] for s in rng.integers(0, n - 20, size=48)]
+    batch1 = [q for q in batch1 if he.count(index, q) == 1]
+    assert (pfx[0] + s_ext) in batch1
+    for k in eng.stats:
+        eng.stats[k] = 0
+    counts, seq_idx, local, offsets = eng.count_locate_arrays(batch1, cap=2)
+    for i, q in enumerate(batch1):
+        assert int(counts[i]) == 1, (i, q)
+        assert sorted(zip(seq_idx[offsets[i]:offsets[i+1]].tolist(),
+                          local[offsets[i]:offsets[i+1]].tolist())) == \
+            sorted(he.locate(index, q)), (i, q)
+    assert eng.stats["redis_lanes"] == 0
+    assert eng.stats["fast_path_batches"] == 1
+
+    # Batch 2: over-SLOT_EXT widths and extended multi-hit lanes re-dispatch
+    # and remain exact.
+    batch2 = [pfx[0] + s_over, pfx[1] + s_multi, pfx[0] + s_ext, seq[100:120]]
+    counts, seq_idx, local, offsets = eng.count_locate_arrays(batch2, cap=8)
+    for i, q in enumerate(batch2):
+        assert int(counts[i]) == he.count(index, q), (i, q)
+        assert sorted(zip(seq_idx[offsets[i]:offsets[i+1]].tolist(),
+                          local[offsets[i]:offsets[i+1]].tolist())) == \
+            sorted(he.locate(index, q)), (i, q)
+    assert int(counts[1]) == 2  # the repeated-prefix plant really is multi-hit
+
+
 def test_slots_stream_stats(rng):
     index, seq = _slot_index(rng, repeats=2)
     eng = FmQueryEngine(index, use_sweep=True)

@@ -167,6 +167,35 @@ def test_verify_wide_group_budget_overflow(rng):
     _check_against_classic(index, eng, queries, cap=4)
 
 
+def test_seeded_chain_parity(rng):
+    """The sorted-domain seeded chain (sweep.seeded_pair_chain: one sort
+    per post-seed rank step, symbols in the payload) must trace at chain-
+    eligible shapes (steps = s - k <= 6) and stay bit-exact vs the classic
+    engine — including seed-miss lanes (canonicalized empty), queries going
+    empty mid-chain, N symbols in post-seed steps, and length-k lanes.  A
+    batch with a short (<k) query must still be exact through the runtime
+    generic-loop fallback arm."""
+    import awry_tpu.ops.sweep as sweep_mod
+
+    seq = random_seq(Alphabet.NUCLEOTIDE, rng, 60_000)
+    index, eng = _engine(seq, k=6)  # s = 10 -> 4 chain steps
+    assert eng._verify_s - index.kmer_len <= 6
+    before = sweep_mod.TRACE_COUNTS["seeded_chain"]
+    queries = [seq[s : s + 24] for s in rng.integers(0, 59_000, size=128)]
+    queries += [
+        b"TTTTTTGGGGGGCCCCAAAAACGT",  # almost surely absent: empties mid-chain
+        b"ACGTNA" + seq[500:514],     # N in a post-seed step position
+        seq[777 : 777 + 6],           # exactly k symbols: zero chain steps live
+        seq[3000:3024],
+    ]
+    _check_against_classic(index, eng, queries)
+    assert sweep_mod.TRACE_COUNTS["seeded_chain"] > before, (
+        "chain-eligible shape never traced the seeded chain"
+    )
+    # Short query in the batch: all_dense is false, the generic arm serves.
+    _check_against_classic(index, eng, queries[:8] + [seq[40:43]])
+
+
 def test_verify_amino_byte_packed(rng):
     seq = random_seq(Alphabet.AMINO, rng, 50_000)
     index, eng = _engine(seq, alphabet=Alphabet.AMINO, k=3)
