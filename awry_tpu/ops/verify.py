@@ -200,6 +200,52 @@ def wide_groups(batch: int) -> int:
     return max(16, batch // 16)
 
 
+def _read_fat(index: FmDeviceIndex, rows_flat: jax.Array, rw: int):
+    """(fat [N, rw] word rows in ascending word order, covered bool [N]) for
+    flat candidate BWT-row ids, from whichever fat source this batch shape
+    reaches: sorted sweep with flat fixup (VMEM regime) > sweep with
+    coverage flags (HBM slim regime) > dense gather > coordinate gather
+    from the tiled layout (tiny/hyper-sparse batches) > none."""
+    from .sweep import (
+        _auto_interpret,
+        window_sweep,
+        window_sweep_cov,
+        window_sweep_suits,
+    )
+
+    nreq = rows_flat.shape[0]
+    flat_len = index.bwt_len * rw
+    if index.vw_sweep is not None and window_sweep_suits(index.vw_sweep, nreq):
+        wbase = (rows_flat * jnp.uint32(rw)) | jnp.uint32(rw - 1)
+        if index.vw_flat is not None:
+            words = window_sweep(
+                index.vw_sweep, index.vw_flat, wbase, rw, interpret=_auto_interpret()
+            )
+            return words[:, ::-1], jnp.ones((nreq,), dtype=bool)
+        words, cov = window_sweep_cov(
+            index.vw_sweep, flat_len, wbase, rw, interpret=_auto_interpret()
+        )
+        return words[:, ::-1], cov
+    if index.verify_windows is not None:
+        fat = index.verify_windows[rows_flat.astype(jnp.int32), :rw]
+        return fat, jnp.ones((nreq,), dtype=bool)
+    if index.vw_sweep is not None:
+        # Sweep-unsuitable shape with only the tiled layout shipped: the
+        # tiled layout is a permutation of the flat words — flat[x] =
+        # sweep[(x>>3)>>7, x&7, (x>>3)&127] — so a coordinate gather serves
+        # it exactly (issue-bound, fine at these request counts).
+        x = rows_flat[:, None].astype(jnp.uint32) * jnp.uint32(rw) + jnp.arange(
+            rw, dtype=jnp.uint32
+        )[None, :]
+        r3 = (x >> 3).astype(jnp.int32)
+        fat = index.vw_sweep[r3 >> 7, (x & 7).astype(jnp.int32), r3 & 127]
+        return fat, jnp.ones((nreq,), dtype=bool)
+    return (
+        jnp.zeros((nreq, rw), dtype=jnp.uint32),
+        jnp.zeros((nreq,), dtype=bool),
+    )
+
+
 def count_locate_verify(
     index: FmDeviceIndex, qsyms: jax.Array, qlens: jax.Array, s: int
 ):
@@ -255,54 +301,61 @@ def count_locate_verify_t(
     ).astype(jnp.int32)
     valid_g = lane_of_group < B
     lane_safe = jnp.where(valid_g, lane_of_group, 0)
-    g_start = starts[lane_safe]
+    # Dump reads must SPREAD, not pile up: empty groups reading lane 0's
+    # row (and non-candidate lanes reading row 0, below) cluster a quarter
+    # of the fat-read stream into one spot, diluting the real request
+    # density the sorted sweep's window estimator assumes — measured 4.6%
+    # uncovered->redis on chr1's slim fat regime before this fix.  Empty
+    # groups read evenly spaced rows; their slots are discarded anyway.
+    spread_g = (
+        jnp.arange(G, dtype=jnp.uint32) * jnp.uint32(max(1, (index.bwt_len - 1) // max(1, G)))
+    )
+    g_start = jnp.where(valid_g, starts[lane_safe], spread_g)
     g_width = jnp.where(valid_g, width[lane_safe], jnp.uint32(0))
     jslot = jnp.arange(WIDE_CAP, dtype=jnp.uint32)
     slot_valid = jslot[None, :] < g_width[:, None]  # [G, WIDE_CAP]
-    slot_rows = jnp.where(slot_valid, g_start[:, None] + jslot[None, :], jnp.uint32(0))
+    # Invalid slots duplicate the group's base row (sorted duplicates ride
+    # the same window for free).
+    jclip_g = jnp.minimum(jslot[None, :], jnp.maximum(g_width, jnp.uint32(1))[:, None] - 1)
+    slot_rows = g_start[:, None] + jclip_g
 
     # One shared walk + text compare treatment for singleton lanes and wide
     # slots - but compared SEPARATELY: concatenating the repeated slot
     # queries onto qt materializes a second full-batch [L, B+4G] matrix,
     # and each group's WIDE_CAP slots share one query anyway (the [G, CAP]
     # slot compare broadcasts one query read per group).
-    rows_main = jnp.where(candidate, starts, jnp.uint32(0))
+    # Non-candidate lanes read their own (valid, spread) start row instead
+    # of piling up at row 0 — see the dump-spread note above.
+    rows_main = jnp.minimum(starts, jnp.uint32(index.bwt_len - 1))
     qt_g = qt[:, lane_safe]  # [L, G]
     l_g = qlens[lane_safe]
 
     L = qt.shape[0]
     bits = 4 if index.alphabet.cardinality <= 16 else 8
     spw = 32 // bits
-    if (
-        index.verify_windows is not None
+    use_fat = (
+        (index.verify_windows is not None or index.vw_sweep is not None)
         and index.verify_windows_s == s
         and L <= s + spw * index.verify_windows_w
-    ):
+    )
+    cov_main = cov_gok = None
+    if use_fat:
         # Fat-row path: ONE gather serves the SA value AND the pre-aligned
         # text window (see FmDeviceIndex.verify_windows) - no LF-walk, no
         # second gather, no funnel.  Served by the sorted sweep when the
-        # layout is present (the 32 B/bwt-row table is HBM-resident and
-        # plain row gathers are issue-bound at ~16 ns/row).
-        from .sweep import _auto_interpret, window_sweep, window_sweep_suits
-
+        # layout is present; SLIM sweep-only tables (HBM switch-step
+        # regime, round 5) flag uncovered lanes, which re-dispatch like any
+        # unresolved lane.
         mask_sym = jnp.uint32((1 << bits) - 1)
         w = index.verify_windows_w
-        N_all = B + G * WIDE_CAP
-        if window_sweep_suits(index.vw_sweep, N_all):
-            rows_all = jnp.concatenate([rows_main, slot_rows.reshape(-1)])
-            words = window_sweep(
-                index.vw_sweep,
-                index.vw_flat,
-                (rows_all << 3) | jnp.uint32(7),
-                8,
-                interpret=_auto_interpret(),
-            )  # [N, 8]; column j holds fat word 7 - j
-            fat_all = words[:, ::-1]
-            fat_t = fat_all[:B].T
-            fat_g = fat_all[B:].reshape(G, WIDE_CAP, 8)
-        else:
-            fat_t = index.verify_windows[rows_main.astype(jnp.int32)].T  # [8, B]
-            fat_g = index.verify_windows[slot_rows.astype(jnp.int32)]  # [G, CAP, 8]
+        rw = index.vw_row_words
+        rows_all = jnp.concatenate([rows_main, slot_rows.reshape(-1)])
+        fat_all, cov_all = _read_fat(index, rows_all, rw)
+        fat_t = fat_all[:B].T  # [rw, B]
+        fat_g = fat_all[B:].reshape(G, WIDE_CAP, rw)
+        cov_main = cov_all[:B]
+        # A wide group settles only if every USED slot was covered.
+        cov_gok = (cov_all[B:].reshape(G, WIDE_CAP) | ~slot_valid).all(axis=1)
         p = fat_t[w]
         matches = jnp.ones(rows_main.shape, dtype=bool)
         p_slot = fat_g[:, :, w]
@@ -336,6 +389,13 @@ def count_locate_verify_t(
     rem_g = rem[lane_safe]
     verified = candidate & matches & (p >= rem)
     ok_slot = ok_slot_cmp & slot_valid & (p_slot >= rem_g[:, None])
+    uncov_cand = jnp.zeros(candidate.shape, dtype=bool)
+    if cov_main is not None:
+        # Sweep-uncovered fat reads (slim HBM regime): those lanes/groups
+        # cannot settle here and re-dispatch like any unresolved lane.
+        verified = verified & cov_main
+        uncov_cand = candidate & ~cov_main
+        valid_g = valid_g & cov_gok
     pos_slot = p_slot - rem_g[:, None]
     wide_counts = ok_slot.sum(axis=1).astype(jnp.uint32)  # [G]
 
@@ -349,7 +409,7 @@ def count_locate_verify_t(
     )
     counts = jnp.where(candidate, verified.astype(jnp.uint32), width)
     counts = jnp.where(settled_w, counts_w, counts)
-    redis = (wide & ~settled_w) | ((counts > 0) & ~long_enough)
+    redis = (wide & ~settled_w) | ((counts > 0) & ~long_enough) | uncov_cand
     text_pos = p - rem
 
     # Pack every host-bound result into ONE buffer: each np.asarray on a
@@ -446,56 +506,7 @@ def count_locate_slots_t(
     jclip = jnp.minimum(jslot[None, :], jnp.maximum(width, jnp.uint32(1))[:, None] - 1)
     slot_rows = starts[:, None] + jclip
 
-    from .sweep import (
-        _auto_interpret,
-        window_sweep,
-        window_sweep_cov,
-        window_sweep_suits,
-    )
-
-    flat_len = index.bwt_len * rw
-
-    def read_fat(rows_flat):
-        """(fat [N, rw] word rows in ascending order, covered bool [N]) for
-        flat candidate row ids, from whichever fat source this batch shape
-        reaches (sorted sweep with/without flat fixup, plain gather, none)."""
-        nreq = rows_flat.shape[0]
-        if index.vw_sweep is not None and window_sweep_suits(index.vw_sweep, nreq):
-            wbase = (rows_flat * jnp.uint32(rw)) | jnp.uint32(rw - 1)
-            if index.vw_flat is not None:
-                # Flat fixup copy available (VMEM regime): uncovered chunks
-                # are re-served in place, no re-dispatch.
-                words = window_sweep(
-                    index.vw_sweep, index.vw_flat, wbase, rw, interpret=_auto_interpret()
-                )
-                return words[:, ::-1], jnp.ones((nreq,), dtype=bool)
-            words, cov = window_sweep_cov(
-                index.vw_sweep, flat_len, wbase, rw, interpret=_auto_interpret()
-            )
-            return words[:, ::-1], cov
-        if index.verify_windows is not None:
-            fat = index.verify_windows[rows_flat.astype(jnp.int32), :rw]
-            return fat, jnp.ones((nreq,), dtype=bool)
-        if index.vw_sweep is not None:
-            # Sweep-unsuitable shape (tiny or hyper-sparse batch) with only
-            # the tiled layout shipped: the tiled layout is a permutation of
-            # the flat words — flat[x] = sweep[(x>>3)>>7, x&7, (x>>3)&127] —
-            # so a coordinate gather serves it exactly (issue-bound, fine at
-            # these request counts).
-            x = rows_flat[:, None].astype(jnp.uint32) * jnp.uint32(rw) + jnp.arange(
-                rw, dtype=jnp.uint32
-            )[None, :]
-            r3 = (x >> 3).astype(jnp.int32)
-            fat = index.vw_sweep[r3 >> 7, (x & 7).astype(jnp.int32), r3 & 127]
-            return fat, jnp.ones((nreq,), dtype=bool)
-        # No fat source at all for this batch shape: every candidate lane
-        # re-dispatches (exactness preserved).
-        return (
-            jnp.zeros((nreq, rw), dtype=jnp.uint32),
-            jnp.zeros((nreq,), dtype=bool),
-        )
-
-    fat_flat, cov_flat = read_fat(slot_rows.reshape(-1))
+    fat_flat, cov_flat = _read_fat(index, slot_rows.reshape(-1), rw)
     fat = fat_flat.reshape(B, WIDE_CAP, rw)
     cov = cov_flat.reshape(B, WIDE_CAP)
 
@@ -538,8 +549,15 @@ def count_locate_slots_t(
     jx = jnp.arange(SLOT_EXT, dtype=jnp.uint32)
     sv_x = jx[None, :] < w_x[:, None]  # [Gx, SLOT_EXT]
     jclip_x = jnp.minimum(jx[None, :], jnp.maximum(w_x, jnp.uint32(1))[:, None] - 1)
-    rows_x = starts[lane_sx][:, None] + jclip_x
-    fat_xf, cov_xf = read_fat(rows_x.reshape(-1))
+    # Empty groups read evenly spaced rows (dump-spread; see
+    # count_locate_verify_t) so the sweep's density estimate stays honest.
+    spread_x = (
+        jnp.arange(Gx, dtype=jnp.uint32)
+        * jnp.uint32(max(1, (index.bwt_len - 1) // max(1, Gx)))
+    )
+    base_x = jnp.where(valid_x, starts[lane_sx], spread_x)
+    rows_x = base_x[:, None] + jclip_x
+    fat_xf, cov_xf = _read_fat(index, rows_x.reshape(-1), rw)
     fat_x = fat_xf.reshape(Gx, SLOT_EXT, rw)
     cov_x = cov_xf.reshape(Gx, SLOT_EXT)
     qt_x = qt[:, lane_sx]  # [L, Gx]
