@@ -533,36 +533,16 @@ def to_device(
         vw_sweep_arr = put("vw_sweep", _bsb(rows8))
         del vw, rows8
         phase("slot fat sweep")
-    elif (
-        build_sweep
-        and index.resolved_mark_ratio == 1
-        and index.has_marks
-        and index.text_packed is not None
-        and index.bwt_len <= SLOT_REGIME_MAX_ROWS
-    ):
-        # HBM switch-step fat regime (round 5): indexes too wide for the
-        # slot regime (expected seed width > SLOT_WIDTH_MAX — chr1 at k=13
-        # is 3.7) still collapse the LF-walk + SA read + text compare into
-        # ONE slim fat read per candidate, aligned at the classic switch
-        # step.  Shipped ONLY as the sweep layout (16 B/row: 4 GB at chr1
-        # scale; window_sweep_cov flags uncovered lanes for re-dispatch,
-        # _read_fat's coordinate gather serves sweep-unsuitable shapes).
-        # Replaced ~16 ms of walk + compare sweeps per 512k chr1 batch
-        # with a ~7 ms fat sweep (BASELINE.md round 5).
-        from .verify import switch_step
-
-        flat = text_sampled.astype(np.uint32)
-        vw, vw_s, vw_w = _build_verify_windows(
-            index, flat, s=switch_step(index), row_words=4
-        )
-        vw_row_words = 4
-        phase("switch fat rows")
-        from .sweep import build_sweep_blocks as _bsb
-
-        rows8 = vw.reshape(-1).reshape(-1, 8)
-        vw_sweep_arr = put("vw_sweep", _bsb(rows8))
-        del vw, rows8
-        phase("switch fat sweep")
+    # NOTE (round 5): an HBM *switch-step* slim-fat regime — fat rows
+    # aligned at the classic switch step for indexes too wide for the slot
+    # regime (chr1 at k=13) — was built and MEASURED A LOSS: at 250 Mbp the
+    # 655k fat-row requests over a 977k-tile table are sparse (anchored
+    # windows ~260 tiles), so the fat sweep's select chain costs as much as
+    # the walk + compare sweeps it replaces, and its coverage tail
+    # re-dispatched 0.4-4.6% of lanes (device 11.46M -> 11.23M q/s, fast
+    # path dark).  E. coli-scale lost ~4% too (13.47M -> 12.92M).  The
+    # walk + compare path stays the HBM default; verify.py keeps full
+    # support for sweep-only fat via _read_fat (the slot regime uses it).
     if (
         index.resolved_mark_ratio == 1
         and index.has_marks
