@@ -1024,13 +1024,13 @@ def _text_kernel(wt: int, nr: int, k: int):
     return kernel
 
 
-def _anchored_tiles(nt: int, num_requests: int, nr: int) -> int:
+def _anchored_tiles(nt: int, num_requests: int, nr: int, dup: int = 1) -> int:
     """Static per-chunk ANCHORED window size in tiles (non-pow2) for the
-    8-word-row text/window sweeps: mean chunk span x 1.35 headroom (chunk
-    spans are ~Erlang(128); std ~9% of mean) + nr straddle rows + 1
-    alignment tile.  Chunks whose span still exceeds S take the standard
-    coverage fixup."""
-    return min(_anchored_want(nt, num_requests, nr), _anchored_cap(nt, 8))
+    8-word-row text/window sweeps: mean chunk span x variance headroom
+    (chunk spans are ~Erlang(CHUNK/dup); see _anchored_want) + nr straddle
+    rows + 1 alignment tile.  Chunks whose span still exceeds S take the
+    standard coverage fixup."""
+    return min(_anchored_want(nt, num_requests, nr, dup), _anchored_cap(nt, 8))
 
 
 def _anchored_text_kernel(S: int, nr: int, k: int, nchunks: int):
@@ -1170,9 +1170,20 @@ def _anchored_cap(nt: int, row_words: int) -> int:
     return min(768, (8 << 20) // (2 * CHUNK * row_words * 4), nt)
 
 
-def _anchored_want(nt: int, num_requests: int, extra: int) -> int:
+def _anchored_want(nt: int, num_requests: int, extra: int, dup: int = 1) -> int:
+    """Anchored window size before capping.  ``dup``: expected duplication
+    factor of the request stream (slot-verify fat reads repeat each lane's
+    base row up to WIDE_CAP times).  Duplicates leave the MEAN chunk span
+    unchanged but grow its variance — a chunk averages CHUNK/dup distinct
+    gaps instead of CHUNK, so cv ~ 1/sqrt(CHUNK/dup) — and an
+    under-headroomed window silently fails coverage on the tail (chr20's
+    slot regime measured 0.9% of lanes re-dispatching from exactly this
+    before dup-aware headroom: 2M requests, ~512k distinct)."""
+    import math
+
     span_tiles = CHUNK * nt / max(1, num_requests)
-    return max(4, int(-(-1.35 * span_tiles // 1)) + extra + 1)
+    headroom = 1.0 + 0.4 * math.sqrt(max(1, dup))
+    return max(4, int(-(-headroom * span_tiles // 1)) + extra + 1)
 
 
 def _anchored_block_tiles(nt: int, num_requests: int, row_words: int) -> int:
@@ -1232,15 +1243,16 @@ def text_sweep_suits(index: FmDeviceIndex, num_requests: int) -> bool:
     return window_sweep_suits(index.text_sweep, num_requests)
 
 
-def window_sweep_suits(sweep_arr, num_requests: int) -> bool:
+def window_sweep_suits(sweep_arr, num_requests: int, dup: int = 1) -> bool:
     """True when window_sweep over this 8-word-row layout can serve
     `num_requests` with guaranteed window coverage (batches too sparse for
-    the VMEM-capped window pay the uncovered-fallback cliff instead)."""
+    the VMEM-capped window pay the uncovered-fallback cliff instead).
+    ``dup``: expected request duplication factor (see _anchored_want)."""
     if sweep_arr is None or num_requests > MAX_SWEEP_REQUESTS:
         return False
     nt = sweep_arr.shape[0]
     if USE_ANCHORED:
-        return _anchored_want(nt, num_requests, 2) <= _anchored_cap(nt, 8)
+        return _anchored_want(nt, num_requests, 2, dup) <= _anchored_cap(nt, 8)
     return pick_window_tiles(nt, num_requests, 8) >= _want_window_tiles(nt, num_requests)
 
 
@@ -1251,8 +1263,8 @@ def text_window_sweep(index: FmDeviceIndex, wbase: jax.Array, k: int, *, interpr
     return window_sweep(index.text_sweep, index.text_packed, wbase, k, interpret=interpret)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "interpret"))
-def window_sweep(sweep_arr, flat_arr, wbase: jax.Array, k: int, *, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("k", "interpret", "dup"))
+def window_sweep(sweep_arr, flat_arr, wbase: jax.Array, k: int, *, interpret: bool = False, dup: int = 1):
     """words[i, j] = flat_arr[wbase[i] - j] for j in 0..k-1 via the sorted
     sweep over `sweep_arr` (build_sweep_blocks of flat_arr viewed as 8-word
     rows).  The generalized random-read engine for ANY HBM-resident table:
@@ -1265,7 +1277,7 @@ def window_sweep(sweep_arr, flat_arr, wbase: jax.Array, k: int, *, interpret: bo
     return in-bounds garbage that callers mask.
     """
     outs, covered_c, sval, swb, nchunks, r = _window_sweep_core(
-        sweep_arr, flat_arr.shape[0], wbase, k, interpret
+        sweep_arr, flat_arr.shape[0], wbase, k, interpret, dup
     )
 
     # Whole-chunk fixup for uncovered chunks (see _chunk_budget).
@@ -1297,15 +1309,15 @@ def window_sweep(sweep_arr, flat_arr, wbase: jax.Array, k: int, *, interpret: bo
     return jnp.stack([u[:r] for u in unsorted], axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("flat_len", "k", "interpret"))
-def window_sweep_cov(sweep_arr, flat_len: int, wbase: jax.Array, k: int, *, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("flat_len", "k", "interpret", "dup"))
+def window_sweep_cov(sweep_arr, flat_len: int, wbase: jax.Array, k: int, *, interpret: bool = False, dup: int = 1):
     """window_sweep WITHOUT a flat fixup array: returns (words [r, k],
     covered bool [r]).  Uncovered lanes hold garbage and must be re-served
     by the caller (the slot-verify path re-dispatches them through the
     classic engine).  Used where the flat copy of a multi-GB table is not
     worth its HBM (slim verify fat rows at chr1 scale)."""
     outs, covered_c, sval, _swb, nchunks, r = _window_sweep_core(
-        sweep_arr, flat_len, wbase, k, interpret
+        sweep_arr, flat_len, wbase, k, interpret, dup
     )
     covb = jnp.broadcast_to(covered_c[:, None], (nchunks, CHUNK)).reshape(-1)
     unsorted = _unsort(sval, covb.astype(jnp.uint32), *outs)
@@ -1313,7 +1325,7 @@ def window_sweep_cov(sweep_arr, flat_len: int, wbase: jax.Array, k: int, *, inte
     return jnp.stack([u[:r] for u in unsorted[1:]], axis=1), cov
 
 
-def _window_sweep_core(sweep_arr, flat_len: int, wbase: jax.Array, k: int, interpret: bool):
+def _window_sweep_core(sweep_arr, flat_len: int, wbase: jax.Array, k: int, interpret: bool, dup: int = 1):
     """Shared sort + Pallas stream of window_sweep / window_sweep_cov.
 
     Returns (outs list of k flat uint32 arrays in SORTED order… unsorted by
@@ -1349,7 +1361,7 @@ def _window_sweep_core(sweep_arr, flat_len: int, wbase: jax.Array, k: int, inter
         # mean chunk span — the dominant sparse-read cost on the seed-table
         # and SA reads (round-4 roofline note).
         TRACE_COUNTS["window_sweep_anchored"] += 1
-        S = _anchored_tiles(nt, r, nr)
+        S = _anchored_tiles(nt, r, nr, dup)
         an, covered_c = _anchors_for(first, last, nt, S, extra=nr - 1)
         outs = pl.pallas_call(
             _anchored_text_kernel(S, nr, k, nchunks),

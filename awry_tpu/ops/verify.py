@@ -200,7 +200,7 @@ def wide_groups(batch: int) -> int:
     return max(16, batch // 16)
 
 
-def _read_fat(index: FmDeviceIndex, rows_flat: jax.Array, rw: int):
+def _read_fat(index: FmDeviceIndex, rows_flat: jax.Array, rw: int, dup: int = 1):
     """(fat [N, rw] word rows in ascending word order, covered bool [N]) for
     flat candidate BWT-row ids, from whichever fat source this batch shape
     reaches: sorted sweep with flat fixup (VMEM regime) > sweep with
@@ -215,15 +215,17 @@ def _read_fat(index: FmDeviceIndex, rows_flat: jax.Array, rw: int):
 
     nreq = rows_flat.shape[0]
     flat_len = index.bwt_len * rw
-    if index.vw_sweep is not None and window_sweep_suits(index.vw_sweep, nreq):
+    if index.vw_sweep is not None and window_sweep_suits(index.vw_sweep, nreq, dup):
         wbase = (rows_flat * jnp.uint32(rw)) | jnp.uint32(rw - 1)
         if index.vw_flat is not None:
             words = window_sweep(
-                index.vw_sweep, index.vw_flat, wbase, rw, interpret=_auto_interpret()
+                index.vw_sweep, index.vw_flat, wbase, rw,
+                interpret=_auto_interpret(), dup=dup,
             )
             return words[:, ::-1], jnp.ones((nreq,), dtype=bool)
         words, cov = window_sweep_cov(
-            index.vw_sweep, flat_len, wbase, rw, interpret=_auto_interpret()
+            index.vw_sweep, flat_len, wbase, rw,
+            interpret=_auto_interpret(), dup=dup,
         )
         return words[:, ::-1], cov
     if index.verify_windows is not None:
@@ -506,7 +508,10 @@ def count_locate_slots_t(
     jclip = jnp.minimum(jslot[None, :], jnp.maximum(width, jnp.uint32(1))[:, None] - 1)
     slot_rows = starts[:, None] + jclip
 
-    fat_flat, cov_flat = _read_fat(index, slot_rows.reshape(-1), rw)
+    # Slot streams repeat each lane's base row up to WIDE_CAP times:
+    # dup-aware window headroom (chr20 measured 0.9% uncovered->redis
+    # with duplicate-blind sizing).
+    fat_flat, cov_flat = _read_fat(index, slot_rows.reshape(-1), rw, dup=WIDE_CAP)
     fat = fat_flat.reshape(B, WIDE_CAP, rw)
     cov = cov_flat.reshape(B, WIDE_CAP)
 
@@ -557,7 +562,7 @@ def count_locate_slots_t(
     )
     base_x = jnp.where(valid_x, starts[lane_sx], spread_x)
     rows_x = base_x[:, None] + jclip_x
-    fat_xf, cov_xf = _read_fat(index, rows_x.reshape(-1), rw)
+    fat_xf, cov_xf = _read_fat(index, rows_x.reshape(-1), rw, dup=WIDE_CAP)
     fat_x = fat_xf.reshape(Gx, SLOT_EXT, rw)
     cov_x = cov_xf.reshape(Gx, SLOT_EXT)
     qt_x = qt[:, lane_sx]  # [L, Gx]
